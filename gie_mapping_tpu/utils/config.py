@@ -1,0 +1,338 @@
+"""Configuration system.
+
+TPU-native counterpart of the reference's ROS-param `Parameters` struct
+(/root/reference/include/parameters.h:11-139) plus the five benchmark case
+presets shipped as cfg/*.yaml + launch files (see /root/repo/BASELINE.md).
+
+A `MapConfig` is frozen/hashable so it can be a `static_argnum` of jitted
+update steps; every derived grid quantity is computed once here so the traced
+code sees only static Python ints.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .constants import VB_WIDTH
+
+
+def _grids_sq(dist_m: float, voxel_width: float) -> int:
+    """metres -> squared grid count (reference flt2GridsSq, parameters.h:134-138)."""
+    g = int(math.ceil(dist_m / voxel_width))
+    return g * g
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """All static parameters of one mapping case."""
+
+    # general (parameters.h:69-98)
+    data_case: str = "ugv_corridor"
+    for_motion_planner: bool = False
+    robot_r: float = 0.4
+    occupancy_threshold: int = 180
+    voxel_width: float = 0.2
+    local_size_m: Tuple[float, float, float] = (10.0, 10.0, 3.0)
+    ogm_min_h: float = 0.2
+    ogm_max_h: float = 10.0
+    fast_mode: bool = True
+    cutoff_dist: float = 6.0
+
+    # capacity (parameters.h:100-102); block_max is the pool capacity
+    max_blocks: int = 19997
+
+    # display / streaming toggles (parameters.h:72-79)
+    display_glb_edt: bool = True
+    display_glb_ogm: bool = True
+    display_loc_edt: bool = False
+    display_loc_ogm: bool = False
+    vis_interval: int = 1
+
+    # profiling
+    profile_loc_rms: bool = False
+    profile_glb_rms: bool = False
+    log_name: str = "gie_tpu_log.csv"
+
+    # external-observer / fence
+    is_ext_obsv_3D: bool = False
+    max_ext_obs: int = 16  # static capacity of AABB obstacle slots
+
+    # sensor specifics
+    valid_nan: bool = False  # realsense NaN->far policy (realsense_fast.cu:64-73)
+
+    # TPU-specific knobs (no reference counterpart)
+    max_raycast_points: int = 65536  # static per-frame point-cloud capacity
+    max_relax_iters: Optional[int] = None  # cap on fixed-point sweeps (None=auto)
+    stream_max_blocks: Optional[int] = None  # compaction size for D2H streaming
+
+    # ---- derived static geometry -------------------------------------
+    @property
+    def local_size(self) -> Tuple[int, int, int]:
+        """Window size in voxels (volumetric_mapper.cpp:70-74)."""
+        return tuple(int(round(s / self.voxel_width)) for s in self.local_size_m)
+
+    @property
+    def map_volume(self) -> int:
+        x, y, z = self.local_size
+        return x * y * z
+
+    @property
+    def max_width(self) -> int:
+        """'Infinite' 1-D distance sentinel (local_batch.h:46)."""
+        return sum(self.local_size)
+
+    @property
+    def max_loc_dist_sq(self) -> int:
+        x, y, z = self.local_size
+        return x * x + y * y + z * z
+
+    @property
+    def cutoff_grids_sq(self) -> int:
+        return _grids_sq(self.cutoff_dist, self.voxel_width)
+
+    @property
+    def robot_r2_grids(self) -> int:
+        return _grids_sq(self.robot_r, self.voxel_width)
+
+    @property
+    def is_2d(self) -> bool:
+        return self.local_size[2] == 1
+
+    # Canvas: the dense working region for the incremental global EDT =
+    # window inflated by the propagation halo, block aligned.  Replaces the
+    # reference's hash-walking wavefronts with dense stencil sweeps.
+    @property
+    def halo_grids(self) -> int:
+        if self.fast_mode:
+            return VB_WIDTH  # one block ring: read-only boundary seeds
+        cutoff = int(math.ceil(self.cutoff_dist / self.voxel_width))
+        # bound the dense canvas; beyond ~96 voxels of halo the dense sweep
+        # cost dominates and the cutoff semantics are preserved by clamping
+        return min(cutoff, 96)
+
+    @property
+    def canvas_blocks(self) -> Tuple[int, int, int]:
+        h = self.halo_grids
+        out = []
+        for s in self.local_size:
+            span = s + 2 * h
+            out.append(span // VB_WIDTH + 2)  # +1 alignment slack, +1 ceil
+        return tuple(out)
+
+    @property
+    def canvas_size(self) -> Tuple[int, int, int]:
+        return tuple(b * VB_WIDTH for b in self.canvas_blocks)
+
+    @property
+    def relax_iters(self) -> int:
+        if self.max_relax_iters is not None:
+            return self.max_relax_iters
+        # propagation depth is bounded by the halo plus in-window travel
+        return self.halo_grids + max(self.local_size)
+
+    @property
+    def stream_capacity(self) -> int:
+        if self.stream_max_blocks is not None:
+            return self.stream_max_blocks
+        bx, by, bz = self.canvas_blocks
+        return bx * by * bz
+
+    # ------------------------------------------------------------------
+    def replace(self, **kw) -> "MapConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# The five benchmark cases (cfg/*.yaml + launch/*.launch; BASELINE.md table).
+# ---------------------------------------------------------------------------
+
+def scan2d_config(**overrides) -> MapConfig:
+    """UAV-2DLiDAR (cfg/scan2D_params.yaml)."""
+    cfg = MapConfig(
+        data_case="scan2D",
+        for_motion_planner=True,
+        robot_r=0.2,
+        voxel_width=0.1,
+        local_size_m=(10.0, 10.0, 3.0),
+        ogm_min_h=-10.0,
+        ogm_max_h=10.0,
+        fast_mode=True,
+        cutoff_dist=6.0,
+        max_blocks=11997,
+        display_glb_edt=False,
+        display_glb_ogm=False,
+        display_loc_edt=True,
+        display_loc_ogm=True,
+    )
+    return cfg.replace(**overrides)
+
+
+def cow_lady_config(**overrides) -> MapConfig:
+    """ETH cow-and-lady pointcloud case (cfg/cow_lady_params.yaml)."""
+    cfg = MapConfig(
+        data_case="cow_lady",
+        for_motion_planner=False,
+        voxel_width=0.1,
+        local_size_m=(10.0, 10.0, 3.0),
+        ogm_min_h=0.0,
+        ogm_max_h=2.5,
+        fast_mode=False,
+        cutoff_dist=2.0,
+        max_blocks=11997,
+        display_glb_edt=True,
+        display_glb_ogm=True,
+    )
+    return cfg.replace(**overrides)
+
+
+def ugv_corridor_config(**overrides) -> MapConfig:
+    """UGV corridor pointcloud raycast case (cfg/ugv_laser3D_params.yaml)."""
+    cfg = MapConfig(
+        data_case="ugv_corridor",
+        for_motion_planner=False,
+        voxel_width=0.05,
+        local_size_m=(10.0, 10.0, 1.2),
+        ogm_min_h=-10.0,
+        ogm_max_h=10.0,
+        fast_mode=True,  # yaml omits fast_mode -> default true (parameters.h:93)
+        cutoff_dist=100.0,
+        max_blocks=21997,
+        display_glb_edt=True,
+        display_glb_ogm=True,
+    )
+    return cfg.replace(**overrides)
+
+
+def depthcam_config(**overrides) -> MapConfig:
+    """UAV depth-camera case (cfg/depthcam_params.yaml)."""
+    cfg = MapConfig(
+        data_case="depthcam",
+        for_motion_planner=False,
+        robot_r=0.2,
+        voxel_width=0.1,
+        local_size_m=(10.0, 10.0, 3.0),
+        ogm_min_h=-10.0,
+        ogm_max_h=10.0,
+        fast_mode=False,
+        cutoff_dist=6.0,
+        max_blocks=11997,
+        display_loc_edt=True,
+    )
+    return cfg.replace(**overrides)
+
+
+def uav_laser3d_config(**overrides) -> MapConfig:
+    """UAV 16-ring spherical-projection case (cfg/uav_laser3D_params.yaml)."""
+    cfg = MapConfig(
+        data_case="laser3D",
+        for_motion_planner=True,
+        voxel_width=0.2,
+        local_size_m=(16.0, 16.0, 2.0),
+        ogm_min_h=0.2,
+        ogm_max_h=2.0,
+        fast_mode=True,
+        cutoff_dist=5.0,
+        max_blocks=21997,
+        display_loc_edt=True,
+        display_glb_ogm=True,
+        display_glb_edt=False,
+    )
+    return cfg.replace(**overrides)
+
+
+def uav_laser3d_fine_config(**overrides) -> MapConfig:
+    """UAV 3D-LiDAR raycast fine case (cfg/uav_laser3D_fine_params.yaml)."""
+    cfg = MapConfig(
+        data_case="uav_raycast_fine",
+        for_motion_planner=True,
+        robot_r=0.6,
+        voxel_width=0.2,
+        local_size_m=(10.0, 10.0, 3.0),
+        ogm_min_h=0.2,
+        ogm_max_h=3.0,
+        fast_mode=True,
+        cutoff_dist=5.0,
+        max_blocks=11997,
+        display_loc_edt=True,
+        display_glb_ogm=True,
+        display_glb_edt=False,
+    )
+    return cfg.replace(**overrides)
+
+
+PRESETS = {
+    "scan2D": scan2d_config,
+    "cow_lady": cow_lady_config,
+    "ugv_corridor": ugv_corridor_config,
+    "depthcam": depthcam_config,
+    "laser3D": uav_laser3d_config,
+    "uav_raycast_fine": uav_laser3d_fine_config,
+}
+
+
+def load_config(case: str, **overrides) -> MapConfig:
+    if case not in PRESETS:
+        raise KeyError(f"unknown data_case {case!r}; available: {sorted(PRESETS)}")
+    return PRESETS[case](**overrides)
+
+
+def load_config_yaml(path: str) -> MapConfig:
+    """Load a reference-format yaml (cfg/*.yaml schema) into a MapConfig."""
+    import yaml  # lazy; pyyaml ships with the baked environment
+
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    ogm = raw.get("ogm", {})
+    wave = raw.get("wave", {})
+    hash_cfg = raw.get("hash", {})
+    return MapConfig(
+        data_case=raw.get("data_case", "custom"),
+        for_motion_planner=bool(raw.get("for_motion_planner", False)),
+        robot_r=float(raw.get("robot_r", 0.4)),
+        occupancy_threshold=int(raw.get("occupancy_threshold", 180)),
+        voxel_width=float(raw.get("voxel_width", 0.2)),
+        local_size_m=(
+            float(raw.get("local_size_x", 10.0)),
+            float(raw.get("local_size_y", 10.0)),
+            float(raw.get("local_size_z", 3.0)),
+        ),
+        ogm_min_h=float(ogm.get("min_height", 0.2)),
+        ogm_max_h=float(ogm.get("max_height", 10.0)),
+        fast_mode=bool(wave.get("fast_mode", True)),
+        cutoff_dist=float(wave.get("cutoff_dist", 6.0)),
+        max_blocks=int(hash_cfg.get("block_max", 19997)),
+        display_glb_edt=bool(raw.get("display_glb_edt", True)),
+        display_glb_ogm=bool(raw.get("display_glb_ogm", True)),
+        display_loc_edt=bool(raw.get("display_loc_edt", False)),
+        display_loc_ogm=bool(raw.get("display_loc_ogm", False)),
+        vis_interval=int(raw.get("vis_interval", 1)),
+        profile_loc_rms=bool(raw.get("profile_loc_rms", False)),
+        profile_glb_rms=bool(raw.get("profile_glb_rms", False)),
+        log_name=str(raw.get("log_name", "gie_tpu_log.csv")),
+        is_ext_obsv_3D=bool(raw.get("is_ext_obsv_3D", False)),
+    )
+
+
+# cow-lady vicon->cam extrinsic, hard-coded in the reference
+# (parameters.h:112-118)
+T_V_C = np.array(
+    [
+        [0.971048, -0.120915, 0.206023, 0.00114049],
+        [0.15701, 0.973037, -0.168959, 0.0450936],
+        [-0.180038, 0.196415, 0.96385, 0.0430765],
+        [0.0, 0.0, 0.0, 1.0],
+    ],
+    dtype=np.float32,
+)
+
+# default virtual-fence bbox (parameters.h:121-131); box 0 is the inverted
+# "flyable region" fence
+DEFAULT_FENCE_LL = np.array([-3.6, -3.2, 0.2], np.float32)
+DEFAULT_FENCE_UR = np.array([4.4, 3.4, 2.6], np.float32)

@@ -1,0 +1,266 @@
+"""VolumetricMapper: the engine orchestrator (imperative shell).
+
+TPU-native counterpart of the reference's ROS node
+(/root/reference/src/volumetric_mapper.cpp:6-224,
+ include/volumetric_mapper.h:44-357): owns the global map state, dispatches
+one of the four sensor pipelines per frame, runs the jitted merge, maintains
+the CPU mirror of streamed blocks, the CSV profile log and the ground-truth
+checker.  ROS pub/sub is replaced by plain function calls returning numpy
+arrays (runtime/datasets.py provides replayers).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..map_state import GlobalMap, canvas_geometry
+from ..ops import raycast as rc
+from ..ops import scan_sensors as ss
+from ..utils import geometry as geo
+from ..utils.config import MapConfig, DEFAULT_FENCE_LL, DEFAULT_FENCE_UR
+from ..utils.constants import VB_WIDTH, VOX_UNKNOWN
+from .pipeline import merge_frame
+
+
+@dataclasses.dataclass
+class FrameOutput:
+    """Per-frame results (CostMap equivalent, msg/CostMap.msg:1-15)."""
+
+    edt: np.ndarray          # float32 [X,Y,Z] distances in grid units
+    glb_type: np.ndarray     # int8 [X,Y,Z] (incl. FNT marks)
+    dist_sq: np.ndarray      # int32 [X,Y,Z]
+    origin: np.ndarray       # float32 [3] metres (lower-left corner, _msg_origin)
+    pvt: np.ndarray          # int32 [3]
+    seen: np.ndarray         # bool [X,Y,Z]
+    ogm_time_ms: float
+    edt_time_ms: float
+    relax_iters: int
+    fnt_count: int
+    alloc_dropped: int
+
+    def cost_map(self):
+        """SeenDist payload: (d, s, o) per voxel (local_batch.h:19-24,382-391).
+
+        d is in metres (edt is in grid units; reference stores grid units in
+        edt_D and publishes them raw — we keep grid units in `edt` and give
+        metres here for convenience)."""
+        return {
+            "d": self.edt,
+            "o": self.glb_type,
+            "s": self.seen,
+            "origin": self.origin,
+        }
+
+
+class _ExtObs:
+    """Virtual fence / external-observer AABB set (Ext_Obs_Wrapper,
+    include/map_structure/pre_map.h:12-29, src/kernel/pre_map/pre_map.cu)."""
+
+    def __init__(self, cfg: MapConfig):
+        self.cfg = cfg
+        M = cfg.max_ext_obs
+        self.ll = np.zeros((M, 3), np.float32)
+        self.ur = np.zeros((M, 3), np.float32)
+        self.n = 0
+        self.assign([DEFAULT_FENCE_LL], [DEFAULT_FENCE_UR])
+
+    def assign(self, lls, urs):
+        self.n = min(len(lls), self.cfg.max_ext_obs)
+        for i in range(self.n):
+            self.ll[i] = lls[i]
+            self.ur[i] = urs[i]
+
+    def append(self, ll, ur):
+        if self.n < self.cfg.max_ext_obs:
+            self.ll[self.n] = ll
+            self.ur[self.n] = ur
+            self.n += 1
+
+    def activate(self, win_ll, win_ur):
+        """AABB-vs-window activation (pre_map.cu:80-102).  Box 0 — the
+        inverted flyable-region fence — is kept inactive exactly as the
+        reference's activate_AABB does (pre_map.cu:85-86)."""
+        act = np.zeros(self.cfg.max_ext_obs, bool)
+        for i in range(1, self.n):
+            overlap = np.all(self.ll[i] <= win_ur) and np.all(self.ur[i] >= win_ll)
+            act[i] = overlap
+        return act
+
+
+class VolumetricMapper:
+    """The mapping engine: feed poses + sensor frames, read cost maps."""
+
+    def __init__(self, cfg: MapConfig, device=None):
+        self.cfg = cfg
+        self.device = device
+        self.gmap = GlobalMap.create(cfg)
+        if device is not None:
+            self.gmap = jax.device_put(self.gmap, device)
+        self.ext_obs = _ExtObs(cfg)
+        self.map_ct = 0
+        self.mirror = None  # lazily-constructed runtime.host_mirror.HostMirror
+        self.last_output: Optional[FrameOutput] = None
+
+    # ------------------------------------------------------------------
+    def _frame_geometry(self, robot_pos):
+        cfg = self.cfg
+        pvt = geo.calculate_pivot(robot_pos, cfg.voxel_width, cfg.local_size)
+        origin_blk, origin_vox, off = canvas_geometry(cfg, pvt)
+        return pvt, origin_blk, off
+
+    def _fence_args(self, pvt):
+        cfg = self.cfg
+        win_ll = pvt.astype(np.float32) * cfg.voxel_width
+        win_ur = win_ll + np.asarray(cfg.local_size_m, np.float32)
+        act = self.ext_obs.activate(win_ll, win_ur)
+        return (
+            jnp.asarray(self.ext_obs.ll),
+            jnp.asarray(self.ext_obs.ur),
+            jnp.asarray(act),
+            jnp.int32(self.ext_obs.n),
+        )
+
+    # ------------------------------------------------------------------
+    def _run(self, inst_type, ray_count, pvt, origin_blk, off, *, input_pointcloud,
+             t_sensor0):
+        cfg = self.cfg
+        fence = self._fence_args(pvt)
+        inst_type = jnp.asarray(inst_type)
+        ray_count = jnp.asarray(ray_count)
+        jax.block_until_ready(inst_type)
+        t_ogm = time.perf_counter()
+
+        self.gmap, out = merge_frame(
+            self.gmap, inst_type, ray_count,
+            jnp.asarray(pvt), jnp.asarray(origin_blk), jnp.asarray(off),
+            *fence, cfg=cfg, input_pointcloud=input_pointcloud,
+        )
+        jax.block_until_ready(out["edt"])
+        t_end = time.perf_counter()
+
+        self.map_ct += 1
+        result = FrameOutput(
+            edt=np.asarray(out["edt"]),
+            glb_type=np.asarray(out["glb_type"]),
+            dist_sq=np.asarray(out["dist_sq"]),
+            origin=pvt.astype(np.float32) * cfg.voxel_width,
+            pvt=pvt,
+            seen=np.asarray(out["glb_type"]) != VOX_UNKNOWN,
+            ogm_time_ms=(t_ogm - t_sensor0) * 1e3,
+            edt_time_ms=(t_end - t_ogm) * 1e3,
+            relax_iters=int(out["relax_iters"]),
+            fnt_count=int(out["fnt_count"]),
+            alloc_dropped=int(out["alloc_dropped"]),
+        )
+        self.last_output = result
+
+        if cfg.display_glb_edt or cfg.display_glb_ogm:
+            self._stream(out, origin_blk)
+        return result
+
+    def _stream(self, out, origin_blk):
+        """Changed-block device->host streaming into the CPU mirror
+        (streamPipeline, glb_hash_map.cu:209-247)."""
+        from ..runtime.host_mirror import HostMirror
+
+        if self.mirror is None:
+            self.mirror = HostMirror(self.cfg)
+        self.mirror.ingest(
+            np.asarray(out["changed_blk"]),
+            np.asarray(out["directory"]),
+            origin_blk,
+            self.gmap,
+        )
+
+    # -- the four map makers -------------------------------------------
+    def process_scan2d(self, proj: geo.Projection, ranges, theta_min, theta_inc):
+        """2-D LiDAR frame (HokuyoMapMaker, src/hokuyo_map_maker.cpp)."""
+        t0 = time.perf_counter()
+        cfg = self.cfg
+        pvt, origin_blk, off = self._frame_geometry(np.asarray(proj.trans))
+        param = ss.ScanParam(
+            theta_min=jnp.float32(theta_min), theta_inc=jnp.float32(theta_inc),
+            ranges=jnp.asarray(ranges, jnp.float32),
+        )
+        inst = ss.hokuyo_update(
+            proj, param, jnp.asarray(pvt), local_size=cfg.local_size,
+            voxel_width=cfg.voxel_width, ogm_min_h=cfg.ogm_min_h,
+            ogm_max_h=cfg.ogm_max_h, for_motion_planner=cfg.for_motion_planner,
+            robot_r2_grids=cfg.robot_r2_grids,
+        )
+        zeros = jnp.zeros(cfg.local_size, jnp.int32)
+        return self._run(inst, zeros, pvt, origin_blk, off,
+                         input_pointcloud=False, t_sensor0=t0)
+
+    def process_depth(self, proj: geo.Projection, depth, fx, fy, cx, cy):
+        """Depth-camera frame (RealsenseMapMaker, src/realsense_map_maker.cpp)."""
+        t0 = time.perf_counter()
+        cfg = self.cfg
+        pvt, origin_blk, off = self._frame_geometry(np.asarray(proj.trans))
+        param = ss.CamParam(
+            fx=jnp.float32(fx), fy=jnp.float32(fy), cx=jnp.float32(cx),
+            cy=jnp.float32(cy), depth=jnp.asarray(depth, jnp.float32),
+        )
+        inst = ss.realsense_update(
+            proj, param, jnp.asarray(pvt), local_size=cfg.local_size,
+            voxel_width=cfg.voxel_width, ogm_min_h=cfg.ogm_min_h,
+            ogm_max_h=cfg.ogm_max_h, for_motion_planner=cfg.for_motion_planner,
+            robot_r2_grids=cfg.robot_r2_grids, valid_nan=cfg.valid_nan,
+        )
+        zeros = jnp.zeros(cfg.local_size, jnp.int32)
+        return self._run(inst, zeros, pvt, origin_blk, off,
+                         input_pointcloud=False, t_sensor0=t0)
+
+    def process_multiscan(self, proj: geo.Projection, rings, theta_min, theta_inc,
+                          phi_min, phi_inc):
+        """3-D spinning-LiDAR frame (Vlp16MapMaker, src/vlp16_map_maker.cpp)."""
+        t0 = time.perf_counter()
+        cfg = self.cfg
+        pvt, origin_blk, off = self._frame_geometry(np.asarray(proj.trans))
+        param = ss.MulScanParam(
+            theta_min=jnp.float32(theta_min), theta_inc=jnp.float32(theta_inc),
+            phi_min=jnp.float32(phi_min), phi_inc=jnp.float32(phi_inc),
+            rings=jnp.asarray(rings, jnp.float32),
+        )
+        inst = ss.vlp16_update(
+            proj, param, jnp.asarray(pvt), local_size=cfg.local_size,
+            voxel_width=cfg.voxel_width, ogm_min_h=cfg.ogm_min_h,
+            ogm_max_h=cfg.ogm_max_h, for_motion_planner=cfg.for_motion_planner,
+            robot_r2_grids=cfg.robot_r2_grids,
+        )
+        zeros = jnp.zeros(cfg.local_size, jnp.int32)
+        return self._run(inst, zeros, pvt, origin_blk, off,
+                         input_pointcloud=False, t_sensor0=t0)
+
+    def process_pointcloud(self, proj: geo.Projection, points_sensor, valid=None):
+        """Point-cloud frame (PntcldMapMaker, src/pntcld_map_maker.cpp).
+
+        points_sensor: [N,3] float32 in SENSOR frame (transformed to world
+        here, mirroring pntcld_raycast.cu:77,93).  Padded to the static
+        capacity cfg.max_raycast_points.
+        """
+        t0 = time.perf_counter()
+        cfg = self.cfg
+        pvt, origin_blk, off = self._frame_geometry(np.asarray(proj.trans))
+        pts = np.asarray(points_sensor, np.float32)
+        n = min(len(pts), cfg.max_raycast_points)
+        buf = np.zeros((cfg.max_raycast_points, 3), np.float32)
+        buf[:n] = pts[:n]
+        vmask = np.zeros(cfg.max_raycast_points, bool)
+        vmask[:n] = True if valid is None else np.asarray(valid, bool)[:n]
+
+        world = proj.l2g(jnp.asarray(buf))
+        inst, counts = rc.pointcloud_raycast(
+            world, jnp.asarray(vmask), proj.trans, jnp.asarray(pvt),
+            local_size=cfg.local_size, voxel_width=cfg.voxel_width,
+            ogm_min_h=cfg.ogm_min_h, ogm_max_h=cfg.ogm_max_h,
+            for_motion_planner=cfg.for_motion_planner,
+            robot_r2_grids=cfg.robot_r2_grids,
+        )
+        return self._run(inst, counts, pvt, origin_blk, off,
+                         input_pointcloud=True, t_sensor0=t0)

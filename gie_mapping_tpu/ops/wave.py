@@ -1,0 +1,171 @@
+"""Incremental global EDT: reconciliation + masked fixed-point relaxation.
+
+TPU-native redesign of the reference's three level-synchronous BFS wavefronts
+(raise_outside / lower_outside / lower_inside,
+/root/reference/src/kernel/par_wave/wave_core.cuh:103-393, wave_helper.h:8-93)
+and their seeding/merge kernels (unify_helper.cuh:201-523):
+
+* The hierarchical shared-memory queues, gray-shade dedup and 64-bit packed
+  atomic arg-min disappear entirely.  The equivalent fixed point is computed
+  by repeated dense 6-neighbour (dist, coc) min-relaxation over the "canvas"
+  (window + cutoff halo) inside `lax.while_loop`, converging when one sweep
+  changes nothing (`psum`-able on a mesh) — SURVEY.md §2 P3/P4.
+* raise_outside (obstacle disappeared) becomes a single vectorised
+  invalidation pass: every outside voxel whose stored closest obstacle lies in
+  the window but is no longer occupied is reset to "unseen", then re-lowered
+  by the relaxation together with everything else.  This reaches at least the
+  set of voxels the reference's raise wave reaches.
+* The per-level host readbacks of frontier counts (wave_helper.h:23,82) are
+  gone: convergence is an on-device reduction, the whole merge is one XLA
+  program.
+
+Divergence (documented): invalidated voxels that no valid obstacle re-reaches
+are stored as "unseen" (EMPTY/INVALID) rather than keeping the raising
+neighbour's interim candidate; and relaxation runs to a *joint* in/out fixed
+point, which is at least as converged as the reference's single A->B->C pass.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import geometry as geo
+from ..utils.constants import EMPTY_VALUE, INVALID_COC, VOX_OCCUPIED, VOX_UNKNOWN
+
+
+def _shift_fill(arr, axis, sign, fill):
+    """Shift `arr` by one voxel along `axis` (sign=+1 brings the neighbour at
+    +axis into each cell), filling the exposed face with `fill`."""
+    pad = [(0, 0)] * arr.ndim
+    if sign > 0:
+        pad[axis] = (0, 1)
+        sl = [slice(None)] * arr.ndim
+        sl[axis] = slice(1, None)
+    else:
+        pad[axis] = (1, 0)
+        sl = [slice(None)] * arr.ndim
+        sl[axis] = slice(0, arr.shape[axis])
+    return jnp.pad(arr, pad, constant_values=fill)[tuple(sl)]
+
+
+def reconcile_window(batch, canvas_dist_win, canvas_coc_win, glb_type, pvt, local_size):
+    """MarkLimitedObserve semantics (unify_helper.cuh:201-273).
+
+    Fresh batch-EDT values replace stored global values except when the new
+    value only got *worse* because the true closest obstacle lies outside the
+    local window ("limited observation") — then the stored value survives.
+
+    Returns (seed_dist int32 [X,Y,Z], seed_coc_glb int32 [X,Y,Z,3]) for the
+    window, with EMPTY/INVALID where the voxel is unobserved or sees nothing.
+    """
+    observed = glb_type != VOX_UNKNOWN
+    valid_new = batch["valid"]
+    dist_new = jnp.where(valid_new, batch["dist_sq"], EMPTY_VALUE)
+    coc_new = jnp.where(valid_new[..., None], batch["coc"] + pvt, INVALID_COC)
+
+    dist_old = canvas_dist_win
+    coc_old = canvas_coc_win
+    old_valid = coc_old[..., 0] != INVALID_COC
+    coc_old_loc = coc_old - pvt
+    old_in_loc = geo.inside_volume(coc_old_loc, jnp.asarray(local_size, jnp.int32)) & old_valid
+
+    limited = (dist_new > dist_old) & ~old_in_loc & old_valid
+    dist_sel = jnp.where(limited, dist_old, dist_new)
+    coc_sel = jnp.where(limited[..., None], coc_old, coc_new)
+
+    seed_dist = jnp.where(observed, dist_sel, EMPTY_VALUE).astype(jnp.int32)
+    seed_coc = jnp.where(observed[..., None], coc_sel, INVALID_COC).astype(jnp.int32)
+    return seed_dist, seed_coc
+
+
+def invalidate_disappeared(dist, coc, outside_mask, glb_type, pvt, local_size):
+    """raise_outside trigger (wave_core.cuh:172-194): outside voxels whose
+    stored closest obstacle lies inside the window but is no longer occupied
+    are reset to unseen."""
+    coc_valid = coc[..., 0] != INVALID_COC
+    coc_loc = jnp.where(coc_valid[..., None], coc - pvt, 0)
+    size = jnp.asarray(local_size, jnp.int32)
+    in_win = geo.inside_volume(coc_loc, size) & coc_valid
+    cl = jnp.clip(coc_loc, 0, size - 1)
+    still_occ = glb_type[cl[..., 0], cl[..., 1], cl[..., 2]] == VOX_OCCUPIED
+    inval = outside_mask & in_win & ~still_occ
+    dist = jnp.where(inval, EMPTY_VALUE, dist)
+    coc = jnp.where(inval[..., None], INVALID_COC, coc)
+    return dist, coc, inval
+
+
+@partial(jax.jit, static_argnames=("canvas_size", "max_iters", "cutoff_sq"))
+def relax_fixed_point(dist, coc, can_update, outside_observed, window_mask,
+                      canvas_origin_vox, *, canvas_size, cutoff_sq: int,
+                      max_iters: int):
+    """Masked 6-neighbour (dist, coc) min-relaxation to fixed point.
+
+    Each sweep: every updatable voxel v considers, for each of its 6
+    neighbours u that may act as a source, the exact squared Euclidean
+    distance from u's closest obstacle to v, and keeps the minimum if it
+    improves.  Repeating to fixed point yields exactly the limit the
+    reference's lower_in/lower_out BFS converges to (same relaxation operator,
+    exhaustively applied); the cutoff gates *expansion from* a voxel the same
+    way the early-return does (wave_core.cuh:125-126,259-262).
+
+    Returns (dist, coc, n_iters).
+    """
+    Xc, Yc, Zc = canvas_size
+    gx = jax.lax.broadcasted_iota(jnp.int32, canvas_size, 0) + canvas_origin_vox[0]
+    gy = jax.lax.broadcasted_iota(jnp.int32, canvas_size, 1) + canvas_origin_vox[1]
+    gz = jax.lax.broadcasted_iota(jnp.int32, canvas_size, 2) + canvas_origin_vox[2]
+
+    def candidates(dist, coc):
+        src_ok = (coc[..., 0] != INVALID_COC) & (window_mask | (outside_observed & (dist <= cutoff_sq)))
+        best_d = jnp.full(canvas_size, EMPTY_VALUE, jnp.int32)
+        best_c = jnp.full(canvas_size + (3,), INVALID_COC, jnp.int32)
+        for axis in range(3):
+            for sign in (1, -1):
+                n_coc = _shift_fill(coc, axis, sign, INVALID_COC)
+                n_src = _shift_fill(src_ok, axis, sign, False)
+                valid = n_src & (n_coc[..., 0] != INVALID_COC)
+                # guard the arithmetic against INVALID_COC overflow
+                cx = jnp.where(valid, n_coc[..., 0], gx)
+                cy = jnp.where(valid, n_coc[..., 1], gy)
+                cz = jnp.where(valid, n_coc[..., 2], gz)
+                dx, dy, dz = gx - cx, gy - cy, gz - cz
+                cand = jnp.where(valid, dx * dx + dy * dy + dz * dz, EMPTY_VALUE)
+                better = cand < best_d
+                best_d = jnp.where(better, cand, best_d)
+                best_c = jnp.where(better[..., None], n_coc, best_c)
+        return best_d, best_c
+
+    def body(state):
+        dist, coc, it, _ = state
+        best_d, best_c = candidates(dist, coc)
+        improve = (best_d < dist) & can_update
+        dist = jnp.where(improve, best_d, dist)
+        coc = jnp.where(improve[..., None], best_c, coc)
+        return dist, coc, it + 1, jnp.any(improve)
+
+    def cond(state):
+        _, _, it, changed = state
+        return changed & (it < max_iters)
+
+    dist, coc, iters, _ = jax.lax.while_loop(
+        cond, body, (dist, coc, jnp.int32(0), jnp.bool_(True))
+    )
+    return dist, coc, iters
+
+
+def mark_frontiers(canvas_vox_type, crop, glb_type):
+    """Exploration-frontier (VOXTYPE_FNT) extraction
+    (unify_helper.cuh:441-444): FREE window voxels with an UNKNOWN 6-neighbour
+    (absent blocks count as unknown).  `crop` maps a canvas array to its
+    window view."""
+    from ..utils.constants import VOX_FREE, VOX_FNT
+
+    unknown = canvas_vox_type == VOX_UNKNOWN
+    nbr_unknown = jnp.zeros_like(unknown)
+    for axis in range(3):
+        for sign in (1, -1):
+            nbr_unknown |= _shift_fill(unknown, axis, sign, True)
+    fnt = (glb_type == VOX_FREE) & crop(nbr_unknown)
+    return jnp.where(fnt, VOX_FNT, glb_type).astype(jnp.int8), fnt

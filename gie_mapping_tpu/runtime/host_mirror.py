@@ -1,0 +1,84 @@
+"""CPU mirror of streamed voxel blocks.
+
+Counterpart of the reference's host-side hash map + streamD2H
+(/root/reference/src/kernel/par_wave/glb_hash_map.cu:209-247,
+ include/par_wave/glb_hash_map.h:33-38): changed blocks are compacted on
+device (a boolean block mask instead of thrust sort/unique) and copied to a
+host dict for visualization / downstream consumers.  A C++ accelerated mirror
+(runtime/native) is used when built; this pure-python dict is the fallback
+and the semantic definition.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..map_state import GlobalMap
+from ..utils.config import MapConfig
+
+
+class HostMirror:
+    def __init__(self, cfg: MapConfig):
+        self.cfg = cfg
+        self.blocks: Dict[Tuple[int, int, int], dict] = {}
+
+    def __len__(self):
+        return len(self.blocks)
+
+    def ingest(self, changed_blk, directory, origin_blk, gmap: GlobalMap):
+        """Pull all changed blocks device->host and update the mirror."""
+        idx = np.argwhere(changed_blk)
+        if idx.size == 0:
+            return 0
+        slots = directory[idx[:, 0], idx[:, 1], idx[:, 2]]
+        ok = slots >= 0
+        idx, slots = idx[ok], slots[ok]
+        if slots.size == 0:
+            return 0
+        # one batched gather per field (the reference does one small memcpy
+        # per block, glb_hash_map.cu:223-229; batching is the TPU-native way)
+        occ = np.asarray(gmap.occ_val[slots])
+        typ = np.asarray(gmap.vox_type[slots])
+        dist = np.asarray(gmap.dist_sq[slots])
+        coc = np.asarray(gmap.coc[slots])
+        keys = idx + origin_blk[None, :]
+        for i, key in enumerate(map(tuple, keys)):
+            self.blocks[key] = {
+                "occ_val": occ[i], "vox_type": typ[i],
+                "dist_sq": dist[i], "coc": coc[i],
+            }
+        return len(keys)
+
+    # -- consumers ------------------------------------------------------
+    def occupied_cloud(self, voxel_width: float):
+        """World positions of all occupied voxels in the mirror
+        (publish_glb_2_rviz equivalent, volumetric_mapper.h:246-317)."""
+        from ..utils.constants import VOX_OCCUPIED
+
+        pts = []
+        for key, blk in self.blocks.items():
+            occ = np.argwhere(blk["vox_type"] == VOX_OCCUPIED)
+            if occ.size:
+                pts.append((np.asarray(key) * 8 + occ) * voxel_width)
+        if not pts:
+            return np.zeros((0, 3), np.float32)
+        return np.concatenate(pts).astype(np.float32)
+
+    def edt_cloud(self, voxel_width: float):
+        """(position, distance_m) of all voxels with a valid EDT value."""
+        from ..utils.constants import EMPTY_VALUE
+
+        pts, dists = [], []
+        for key, blk in self.blocks.items():
+            valid = np.argwhere(blk["dist_sq"] < EMPTY_VALUE)
+            if valid.size:
+                pts.append((np.asarray(key) * 8 + valid) * voxel_width)
+                d = blk["dist_sq"][valid[:, 0], valid[:, 1], valid[:, 2]]
+                dists.append(np.sqrt(d.astype(np.float64)) * voxel_width)
+        if not pts:
+            return np.zeros((0, 3), np.float32), np.zeros((0,), np.float32)
+        return (
+            np.concatenate(pts).astype(np.float32),
+            np.concatenate(dists).astype(np.float32),
+        )

@@ -87,7 +87,9 @@ def build_directory(gmap: GlobalMap, canvas_origin_blk, canvas_blocks: Tuple[int
     shape = jnp.asarray(canvas_blocks, jnp.int32)
     active = jnp.arange(B, dtype=jnp.int32) < gmap.n_blocks
     inside = jnp.all((rel >= 0) & (rel < shape), axis=-1) & active
-    idx = jnp.where(inside[:, None], rel, -1)  # -1 -> dropped
+    # out-of-canvas keys are routed to an out-of-bounds POSITIVE index so
+    # mode='drop' discards them (negative indices would wrap, numpy-style)
+    idx = jnp.where(inside[:, None], rel, shape)
     directory = jnp.full(canvas_blocks, -1, jnp.int32)
     return directory.at[idx[:, 0], idx[:, 1], idx[:, 2]].set(
         jnp.arange(B, dtype=jnp.int32), mode="drop"

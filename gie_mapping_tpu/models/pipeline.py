@@ -57,8 +57,7 @@ def _uncrop(arr, patch, off):
     return jax.lax.dynamic_update_slice(arr, patch, starts)
 
 
-@partial(jax.jit, static_argnames=("cfg", "input_pointcloud"), donate_argnums=(0,))
-def merge_frame(
+def merge_frame_impl(
     gmap: GlobalMap,
     inst_type,          # int8 [X,Y,Z] from a projection sensor (or raycaster)
     ray_count,          # int32 [X,Y,Z] (zeros for projection sensors)
@@ -69,6 +68,7 @@ def merge_frame(
     *,
     cfg: MapConfig,
     input_pointcloud: bool,
+    mesh=None,          # jax.sharding.Mesh: shard canvas-x / pool-blocks
 ):
     """Fuse one local observation into the global map and refresh the EDT.
 
@@ -93,6 +93,14 @@ def merge_frame(
 
     # ---- canvas materialisation ----------------------------------------
     canvas = gather_canvas(gmap, directory, canvas_blocks)
+    if mesh is not None:
+        # shard the dense working set along canvas-x: relaxation sweeps get
+        # XLA-inserted halo exchanges over ICI, convergence is a psum
+        from ..parallel.mesh import canvas_sharding
+
+        cs = canvas_sharding(mesh)
+        for k in ("occ_val", "vox_type", "dist_sq", "coc"):
+            canvas[k] = jax.lax.with_sharding_constraint(canvas[k], cs)
     old_dist = canvas["dist_sq"]
     old_type = canvas["vox_type"]
 
@@ -192,6 +200,18 @@ def merge_frame(
 
     # ---- write back to the pool ----------------------------------------
     gmap = scatter_canvas(gmap, directory, canvas_blocks, canvas)
+    if mesh is not None:
+        from ..parallel.mesh import pool_sharding
+
+        ps = pool_sharding(mesh)
+        gmap = dataclasses.replace(
+            gmap,
+            block_keys=jax.lax.with_sharding_constraint(gmap.block_keys, ps),
+            occ_val=jax.lax.with_sharding_constraint(gmap.occ_val, ps),
+            vox_type=jax.lax.with_sharding_constraint(gmap.vox_type, ps),
+            dist_sq=jax.lax.with_sharding_constraint(gmap.dist_sq, ps),
+            coc=jax.lax.with_sharding_constraint(gmap.coc, ps),
+        )
 
     outputs = {
         "edt": edt,                      # float32 [X,Y,Z]
@@ -206,6 +226,10 @@ def merge_frame(
         "fnt_count": jnp.sum(fnt.astype(jnp.int32)),
     }
     return gmap, outputs
+
+
+merge_frame = partial(jax.jit, static_argnames=("cfg", "input_pointcloud", "mesh"),
+                      donate_argnums=(0,))(merge_frame_impl)
 
 
 def _fuse(canvas_win, inst_type, ray_count, input_pointcloud, glb_pos,

@@ -1,0 +1,66 @@
+"""Device-mesh sharding of the mapping engine.
+
+The reference is single-GPU with no distributed backend (SURVEY.md §2 P9);
+multi-chip scale-out is a first-class requirement of the TPU build:
+
+* the **canvas** (dense working region of the incremental EDT) is sharded
+  along its x axis over the mesh — every relaxation sweep's 6-neighbour
+  shifts become XLA-inserted halo exchanges over ICI (collective-permute),
+  and the convergence flag is an implicit psum (jnp.any over a sharded
+  array);
+* the **block pool** is sharded along the block axis, spreading global-map
+  memory across chips;
+* the local window / sensor arrays are small and stay replicated — every
+  host feeds the same observation, as per SURVEY.md §5's distributed plan.
+
+No NCCL/MPI-style code exists here: `jax.sharding.NamedSharding` annotations
++ the XLA SPMD partitioner are the entire communication layer.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+MESH_AXIS = "gx"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over the canvas-x axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (MESH_AXIS,))
+
+
+def canvas_sharding(mesh: Mesh) -> NamedSharding:
+    """Dense canvas arrays: sharded along x (dim 0)."""
+    return NamedSharding(mesh, P(MESH_AXIS))
+
+
+def pool_sharding(mesh: Mesh) -> NamedSharding:
+    """Pool arrays: sharded along the block axis (dim 0)."""
+    return NamedSharding(mesh, P(MESH_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_global_map(gmap, mesh: Mesh):
+    """Place a GlobalMap with the pool sharded across the mesh."""
+    ps = pool_sharding(mesh)
+    rs = replicated(mesh)
+    import dataclasses
+
+    return dataclasses.replace(
+        gmap,
+        block_keys=jax.device_put(gmap.block_keys, ps),
+        n_blocks=jax.device_put(gmap.n_blocks, rs),
+        occ_val=jax.device_put(gmap.occ_val, ps),
+        vox_type=jax.device_put(gmap.vox_type, ps),
+        dist_sq=jax.device_put(gmap.dist_sq, ps),
+        coc=jax.device_put(gmap.coc, ps),
+        alloc_dropped=jax.device_put(gmap.alloc_dropped, rs),
+    )

@@ -1,0 +1,62 @@
+"""Multi-chip sharding: the full frame update compiled and executed over an
+8-device (virtual CPU) mesh must produce bit-identical results to 1 device."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gie_mapping_tpu.map_state import GlobalMap, canvas_geometry
+from gie_mapping_tpu.models.pipeline import merge_frame
+from gie_mapping_tpu.parallel.mesh import make_mesh, shard_global_map
+from gie_mapping_tpu.utils.config import scan2d_config
+from gie_mapping_tpu.utils.constants import VOX_FREE, VOX_OCCUPIED
+
+
+def _cfg():
+    return scan2d_config(local_size_m=(3.2, 3.2, 1.6), voxel_width=0.2,
+                         fast_mode=False, cutoff_dist=2.0, max_blocks=2048,
+                         for_motion_planner=False)
+
+
+def _fence(cfg):
+    M = cfg.max_ext_obs
+    return (jnp.zeros((M, 3), jnp.float32), jnp.zeros((M, 3), jnp.float32),
+            jnp.zeros((M,), jnp.bool_), jnp.int32(0))
+
+
+def _inst(cfg, seed):
+    rng = np.random.default_rng(seed)
+    inst = np.full(cfg.local_size, VOX_FREE, np.int8)
+    occ = rng.random(cfg.local_size) < 0.02
+    inst[occ] = VOX_OCCUPIED
+    return inst
+
+
+def _run(cfg, mesh, n_frames=3):
+    gmap = GlobalMap.create(cfg)
+    if mesh is not None:
+        gmap = shard_global_map(gmap, mesh)
+    outs = []
+    for i in range(n_frames):
+        pvt = np.asarray([4 * i, 0, 0], np.int32)
+        origin_blk, _, off = canvas_geometry(cfg, pvt)
+        gmap, out = merge_frame(
+            gmap, jnp.asarray(_inst(cfg, i)), jnp.zeros(cfg.local_size, jnp.int32),
+            jnp.asarray(pvt), jnp.asarray(origin_blk), jnp.asarray(off),
+            *_fence(cfg), cfg=cfg, input_pointcloud=False, mesh=mesh,
+        )
+        outs.append({k: np.asarray(v) for k, v in out.items()
+                     if k in ("edt", "glb_type", "dist_sq")})
+    return outs
+
+
+def test_sharded_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
+    cfg = _cfg()
+    ref = _run(cfg, None)
+    mesh = make_mesh(8)
+    shd = _run(cfg, mesh)
+    for a, b in zip(ref, shd):
+        np.testing.assert_array_equal(a["glb_type"], b["glb_type"])
+        np.testing.assert_array_equal(a["dist_sq"], b["dist_sq"])
+        np.testing.assert_allclose(a["edt"], b["edt"], rtol=1e-6)

@@ -27,28 +27,56 @@ from ..utils.constants import VB_WIDTH, VOX_UNKNOWN
 from .pipeline import merge_frame
 
 
-@dataclasses.dataclass
 class FrameOutput:
-    """Per-frame results (CostMap equivalent, msg/CostMap.msg:1-15)."""
+    """Per-frame results (CostMap equivalent, msg/CostMap.msg:1-15).
 
-    edt: np.ndarray          # float32 [X,Y,Z] distances in grid units
-    glb_type: np.ndarray     # int8 [X,Y,Z] (incl. FNT marks)
-    dist_sq: np.ndarray      # int32 [X,Y,Z]
-    origin: np.ndarray       # float32 [3] metres (lower-left corner, _msg_origin)
-    pvt: np.ndarray          # int32 [3]
-    seen: np.ndarray         # bool [X,Y,Z]
-    ogm_time_ms: float
-    edt_time_ms: float
-    relax_iters: int
-    fnt_count: int
-    alloc_dropped: int
+    Device arrays are held lazily: over a remote-TPU link, device->host
+    readback is expensive, so nothing is fetched until a field is accessed.
+    The mapping engine itself (dispatch side) never synchronises — matching
+    the reference's async kernel stream, where only profiling inserts
+    explicit syncs (volumetric_mapper.cpp:153,186).
+    """
+
+    _LAZY = ("edt", "glb_type", "dist_sq", "coc", "relax_iters", "fnt_count",
+             "alloc_dropped")
+
+    def __init__(self, raw: dict, origin, pvt):
+        self._raw = raw
+        self.origin = origin
+        self.pvt = pvt
+        self.ogm_time_ms = 0.0
+        self.edt_time_ms = 0.0
+        self._cache: dict = {}
+
+    def __getattr__(self, name):
+        if name in FrameOutput._LAZY:
+            cache = self.__dict__["_cache"]
+            if name not in cache:
+                v = np.asarray(self.__dict__["_raw"][name])
+                if v.ndim == 0:
+                    v = v.item()
+                cache[name] = v
+            return cache[name]
+        raise AttributeError(name)
+
+    @property
+    def seen(self):
+        return self.glb_type != VOX_UNKNOWN
+
+    def device(self, name):
+        """The un-fetched device array for a raw output field."""
+        return self._raw[name]
+
+    def fetch(self):
+        """Materialise all lazy fields in one batched transfer."""
+        vals = jax.device_get([self._raw[k] for k in FrameOutput._LAZY])
+        for k, v in zip(FrameOutput._LAZY, vals):
+            v = np.asarray(v)
+            self._cache[k] = v.item() if v.ndim == 0 else v
+        return self
 
     def cost_map(self):
-        """SeenDist payload: (d, s, o) per voxel (local_batch.h:19-24,382-391).
-
-        d is in metres (edt is in grid units; reference stores grid units in
-        edt_D and publishes them raw — we keep grid units in `edt` and give
-        metres here for convenience)."""
+        """SeenDist payload: (d, s, o) per voxel (local_batch.h:19-24,382-391)."""
         return {
             "d": self.edt,
             "o": self.glb_type,
@@ -132,7 +160,6 @@ class VolumetricMapper:
         fence = self._fence_args(pvt)
         inst_type = jnp.asarray(inst_type)
         ray_count = jnp.asarray(ray_count)
-        jax.block_until_ready(inst_type)
         t_ogm = time.perf_counter()
 
         self.gmap, out = merge_frame(
@@ -140,26 +167,21 @@ class VolumetricMapper:
             jnp.asarray(pvt), jnp.asarray(origin_blk), jnp.asarray(off),
             *fence, cfg=cfg, input_pointcloud=input_pointcloud,
         )
-        jax.block_until_ready(out["edt"])
         t_end = time.perf_counter()
 
         self.map_ct += 1
         result = FrameOutput(
-            edt=np.asarray(out["edt"]),
-            glb_type=np.asarray(out["glb_type"]),
-            dist_sq=np.asarray(out["dist_sq"]),
+            out,
             origin=pvt.astype(np.float32) * cfg.voxel_width,
             pvt=pvt,
-            seen=np.asarray(out["glb_type"]) != VOX_UNKNOWN,
-            ogm_time_ms=(t_ogm - t_sensor0) * 1e3,
-            edt_time_ms=(t_end - t_ogm) * 1e3,
-            relax_iters=int(out["relax_iters"]),
-            fnt_count=int(out["fnt_count"]),
-            alloc_dropped=int(out["alloc_dropped"]),
         )
+        result.ogm_time_ms = (t_ogm - t_sensor0) * 1e3
+        result.edt_time_ms = (t_end - t_ogm) * 1e3
         self.last_output = result
 
-        if cfg.display_glb_edt or cfg.display_glb_ogm:
+        if (cfg.display_glb_edt or cfg.display_glb_ogm) and (
+            self.map_ct % cfg.vis_interval == 0
+        ):
             self._stream(out, origin_blk)
         return result
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..map_state import GlobalMap, canvas_geometry
+from ..map_state import MapState, canvas_geometry
 from ..ops import raycast as rc
 from ..ops import scan_sensors as ss
 from ..utils import geometry as geo
@@ -38,7 +38,7 @@ class FrameOutput:
     """
 
     _LAZY = ("edt", "glb_type", "dist_sq", "coc", "relax_iters", "fnt_count",
-             "alloc_dropped")
+             "arch_dropped")
 
     def __init__(self, raw: dict, origin, pvt):
         self._raw = raw
@@ -126,9 +126,9 @@ class VolumetricMapper:
     def __init__(self, cfg: MapConfig, device=None):
         self.cfg = cfg
         self.device = device
-        self.gmap = GlobalMap.create(cfg)
+        self.state = MapState.create(cfg)
         if device is not None:
-            self.gmap = jax.device_put(self.gmap, device)
+            self.state = jax.device_put(self.state, device)
         self.ext_obs = _ExtObs(cfg)
         self.map_ct = 0
         self.mirror = None  # lazily-constructed runtime.host_mirror.HostMirror
@@ -162,8 +162,8 @@ class VolumetricMapper:
         ray_count = jnp.asarray(ray_count)
         t_ogm = time.perf_counter()
 
-        self.gmap, out = merge_frame(
-            self.gmap, inst_type, ray_count,
+        self.state, out = merge_frame(
+            self.state, inst_type, ray_count,
             jnp.asarray(pvt), jnp.asarray(origin_blk), jnp.asarray(off),
             *fence, cfg=cfg, input_pointcloud=input_pointcloud,
         )
@@ -194,9 +194,8 @@ class VolumetricMapper:
             self.mirror = HostMirror(self.cfg)
         self.mirror.ingest(
             np.asarray(out["changed_blk"]),
-            np.asarray(out["directory"]),
             origin_blk,
-            self.gmap,
+            self.state,
         )
 
     # -- the four map makers -------------------------------------------

@@ -19,10 +19,14 @@ and their seeding/merge kernels (unify_helper.cuh:201-523):
   gone: convergence is an on-device reduction, the whole merge is one XLA
   program.
 
-Divergence (documented): invalidated voxels that no valid obstacle re-reaches
-are stored as "unseen" (EMPTY/INVALID) rather than keeping the raising
-neighbour's interim candidate; and relaxation runs to a *joint* in/out fixed
-point, which is at least as converged as the reference's single A->B->C pass.
+Closest-obstacle coordinates are int16 GLOBAL voxel coordinates (sentinel
+COC_INVALID16); distances stay int32 squared grid units.
+
+Divergences (documented): invalidated voxels that no valid obstacle
+re-reaches are stored as "unseen" (EMPTY/INVALID) rather than keeping the
+raising neighbour's interim candidate; and relaxation runs to a *joint*
+in/out fixed point, which is at least as converged as the reference's single
+A->B->C pass.
 """
 from __future__ import annotations
 
@@ -30,9 +34,12 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils import geometry as geo
-from ..utils.constants import EMPTY_VALUE, INVALID_COC, VOX_OCCUPIED, VOX_UNKNOWN
+from ..utils.constants import EMPTY_VALUE, VOX_OCCUPIED, VOX_UNKNOWN
+
+COC_INVALID16 = np.int16(32767)
 
 
 def _shift_fill(arr, axis, sign, fill):
@@ -57,18 +64,21 @@ def reconcile_window(batch, canvas_dist_win, canvas_coc_win, glb_type, pvt, loca
     value only got *worse* because the true closest obstacle lies outside the
     local window ("limited observation") — then the stored value survives.
 
-    Returns (seed_dist int32 [X,Y,Z], seed_coc_glb int32 [X,Y,Z,3]) for the
-    window, with EMPTY/INVALID where the voxel is unobserved or sees nothing.
+    Returns (seed_dist int32 [X,Y,Z], seed_coc int16 [X,Y,Z,3] global) for
+    the window, with EMPTY/INVALID where the voxel is unobserved or sees
+    nothing.
     """
     observed = glb_type != VOX_UNKNOWN
     valid_new = batch["valid"]
     dist_new = jnp.where(valid_new, batch["dist_sq"], EMPTY_VALUE)
-    coc_new = jnp.where(valid_new[..., None], batch["coc"] + pvt, INVALID_COC)
+    coc_new = jnp.where(
+        valid_new[..., None], (batch["coc"] + pvt).astype(jnp.int16), COC_INVALID16
+    )
 
     dist_old = canvas_dist_win
     coc_old = canvas_coc_win
-    old_valid = coc_old[..., 0] != INVALID_COC
-    coc_old_loc = coc_old - pvt
+    old_valid = coc_old[..., 0] != COC_INVALID16
+    coc_old_loc = coc_old.astype(jnp.int32) - pvt
     old_in_loc = geo.inside_volume(coc_old_loc, jnp.asarray(local_size, jnp.int32)) & old_valid
 
     limited = (dist_new > dist_old) & ~old_in_loc & old_valid
@@ -76,7 +86,7 @@ def reconcile_window(batch, canvas_dist_win, canvas_coc_win, glb_type, pvt, loca
     coc_sel = jnp.where(limited[..., None], coc_old, coc_new)
 
     seed_dist = jnp.where(observed, dist_sel, EMPTY_VALUE).astype(jnp.int32)
-    seed_coc = jnp.where(observed[..., None], coc_sel, INVALID_COC).astype(jnp.int32)
+    seed_coc = jnp.where(observed[..., None], coc_sel, COC_INVALID16)
     return seed_dist, seed_coc
 
 
@@ -84,22 +94,23 @@ def invalidate_disappeared(dist, coc, outside_mask, glb_type, pvt, local_size):
     """raise_outside trigger (wave_core.cuh:172-194): outside voxels whose
     stored closest obstacle lies inside the window but is no longer occupied
     are reset to unseen."""
-    coc_valid = coc[..., 0] != INVALID_COC
-    coc_loc = jnp.where(coc_valid[..., None], coc - pvt, 0)
+    coc_valid = coc[..., 0] != COC_INVALID16
+    coc_loc = jnp.where(coc_valid[..., None], coc.astype(jnp.int32) - pvt, 0)
     size = jnp.asarray(local_size, jnp.int32)
     in_win = geo.inside_volume(coc_loc, size) & coc_valid
     cl = jnp.clip(coc_loc, 0, size - 1)
     still_occ = glb_type[cl[..., 0], cl[..., 1], cl[..., 2]] == VOX_OCCUPIED
     inval = outside_mask & in_win & ~still_occ
     dist = jnp.where(inval, EMPTY_VALUE, dist)
-    coc = jnp.where(inval[..., None], INVALID_COC, coc)
+    coc = jnp.where(inval[..., None], COC_INVALID16, coc)
     return dist, coc, inval
 
 
-@partial(jax.jit, static_argnames=("canvas_size", "max_iters", "cutoff_sq"))
+@partial(jax.jit, static_argnames=("canvas_size", "max_iters", "cutoff_sq",
+                                   "sweeps_per_check"))
 def relax_fixed_point(dist, coc, can_update, outside_observed, window_mask,
                       canvas_origin_vox, *, canvas_size, cutoff_sq: int,
-                      max_iters: int):
+                      max_iters: int, sweeps_per_check: int = 4):
     """Masked 6-neighbour (dist, coc) min-relaxation to fixed point.
 
     Each sweep: every updatable voxel v considers, for each of its 6
@@ -110,40 +121,48 @@ def relax_fixed_point(dist, coc, can_update, outside_observed, window_mask,
     exhaustively applied); the cutoff gates *expansion from* a voxel the same
     way the early-return does (wave_core.cuh:125-126,259-262).
 
-    Returns (dist, coc, n_iters).
+    `sweeps_per_check` sweeps run between convergence reductions to amortise
+    the while_loop condition.
+
+    Returns (dist, coc, n_sweeps_upper_bound).
     """
-    Xc, Yc, Zc = canvas_size
     gx = jax.lax.broadcasted_iota(jnp.int32, canvas_size, 0) + canvas_origin_vox[0]
     gy = jax.lax.broadcasted_iota(jnp.int32, canvas_size, 1) + canvas_origin_vox[1]
     gz = jax.lax.broadcasted_iota(jnp.int32, canvas_size, 2) + canvas_origin_vox[2]
 
-    def candidates(dist, coc):
-        src_ok = (coc[..., 0] != INVALID_COC) & (window_mask | (outside_observed & (dist <= cutoff_sq)))
-        best_d = jnp.full(canvas_size, EMPTY_VALUE, jnp.int32)
-        best_c = jnp.full(canvas_size + (3,), INVALID_COC, jnp.int32)
+    def sweep(dist, coc):
+        src_ok = (coc[..., 0] != COC_INVALID16) & (
+            window_mask | (outside_observed & (dist <= cutoff_sq))
+        )
+        best_d = dist
+        best_c = coc
         for axis in range(3):
             for sign in (1, -1):
-                n_coc = _shift_fill(coc, axis, sign, INVALID_COC)
+                n_coc = _shift_fill(coc, axis, sign, COC_INVALID16)
                 n_src = _shift_fill(src_ok, axis, sign, False)
-                valid = n_src & (n_coc[..., 0] != INVALID_COC)
-                # guard the arithmetic against INVALID_COC overflow
-                cx = jnp.where(valid, n_coc[..., 0], gx)
-                cy = jnp.where(valid, n_coc[..., 1], gy)
-                cz = jnp.where(valid, n_coc[..., 2], gz)
+                valid = n_src & (n_coc[..., 0] != COC_INVALID16)
+                cx = jnp.where(valid, n_coc[..., 0].astype(jnp.int32), gx)
+                cy = jnp.where(valid, n_coc[..., 1].astype(jnp.int32), gy)
+                cz = jnp.where(valid, n_coc[..., 2].astype(jnp.int32), gz)
                 dx, dy, dz = gx - cx, gy - cy, gz - cz
                 cand = jnp.where(valid, dx * dx + dy * dy + dz * dz, EMPTY_VALUE)
                 better = cand < best_d
                 best_d = jnp.where(better, cand, best_d)
                 best_c = jnp.where(better[..., None], n_coc, best_c)
-        return best_d, best_c
+        improve = (best_d < dist) & can_update
+        return (
+            jnp.where(improve, best_d, dist),
+            jnp.where(improve[..., None], best_c, coc),
+            jnp.any(improve),
+        )
 
     def body(state):
         dist, coc, it, _ = state
-        best_d, best_c = candidates(dist, coc)
-        improve = (best_d < dist) & can_update
-        dist = jnp.where(improve, best_d, dist)
-        coc = jnp.where(improve[..., None], best_c, coc)
-        return dist, coc, it + 1, jnp.any(improve)
+        changed = jnp.bool_(False)
+        for _ in range(sweeps_per_check):
+            dist, coc, ch = sweep(dist, coc)
+            changed |= ch
+        return dist, coc, it + sweeps_per_check, changed
 
     def cond(state):
         _, _, it, changed = state

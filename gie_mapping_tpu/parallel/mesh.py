@@ -48,19 +48,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_global_map(gmap, mesh: Mesh):
-    """Place a GlobalMap with the pool sharded across the mesh."""
-    ps = pool_sharding(mesh)
-    rs = replicated(mesh)
+def shard_state(state, mesh: Mesh):
+    """Place a MapState with the canvas sharded along x and the archive
+    sharded along the block axis."""
     import dataclasses
 
+    cs = canvas_sharding(mesh)
+    ps = pool_sharding(mesh)
+    rs = replicated(mesh)
     return dataclasses.replace(
-        gmap,
-        block_keys=jax.device_put(gmap.block_keys, ps),
-        n_blocks=jax.device_put(gmap.n_blocks, rs),
-        occ_val=jax.device_put(gmap.occ_val, ps),
-        vox_type=jax.device_put(gmap.vox_type, ps),
-        dist_sq=jax.device_put(gmap.dist_sq, ps),
-        coc=jax.device_put(gmap.coc, ps),
-        alloc_dropped=jax.device_put(gmap.alloc_dropped, rs),
+        state,
+        origin_blk=jax.device_put(state.origin_blk, rs),
+        occ_val=jax.device_put(state.occ_val, cs),
+        vox_type=jax.device_put(state.vox_type, cs),
+        dist_sq=jax.device_put(state.dist_sq, cs),
+        coc=jax.device_put(state.coc, cs),
+        present=jax.device_put(state.present, rs),  # tiny block-flag grid
+        arch_keys=jax.device_put(state.arch_keys, ps),
+        n_arch=jax.device_put(state.n_arch, rs),
+        a_occ=jax.device_put(state.a_occ, ps),
+        a_type=jax.device_put(state.a_type, ps),
+        a_dist=jax.device_put(state.a_dist, ps),
+        a_coc=jax.device_put(state.a_coc, ps),
+        arch_dropped=jax.device_put(state.arch_dropped, rs),
     )
+
+
+# backwards-compatible alias
+shard_global_map = shard_state

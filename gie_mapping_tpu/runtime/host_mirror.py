@@ -14,7 +14,7 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-from ..map_state import GlobalMap
+from ..map_state import MapState, _dense_to_blocks
 from ..utils.config import MapConfig
 
 
@@ -26,29 +26,40 @@ class HostMirror:
     def __len__(self):
         return len(self.blocks)
 
-    def ingest(self, changed_blk, directory, origin_blk, gmap: GlobalMap):
-        """Pull all changed blocks device->host and update the mirror."""
+    def ingest(self, changed_blk, origin_blk, state: MapState):
+        """Pull all changed canvas blocks device->host, update the mirror."""
         idx = np.argwhere(changed_blk)
         if idx.size == 0:
             return 0
-        slots = directory[idx[:, 0], idx[:, 1], idx[:, 2]]
-        ok = slots >= 0
-        idx, slots = idx[ok], slots[ok]
-        if slots.size == 0:
+        cb = self.cfg.canvas_blocks
+        # one batched row-gather per field (the reference does one small
+        # memcpy per block, glb_hash_map.cu:223-229)
+        fields = {}
+        for name, arr in (("occ_val", state.occ_val), ("vox_type", state.vox_type),
+                          ("dist_sq", state.dist_sq), ("coc", state.coc)):
+            bv = _dense_to_blocks(arr, cb)
+            fields[name] = np.asarray(bv[idx[:, 0], idx[:, 1], idx[:, 2]])
+        keys = idx + np.asarray(origin_blk)[None, :]
+        for i, key in enumerate(map(tuple, keys)):
+            self.blocks[key] = {name: fields[name][i] for name in fields}
+        return len(keys)
+
+    def ingest_archive(self, state: MapState):
+        """Bulk-import every archived block (checkpoint/shutdown path)."""
+        n = int(state.n_arch)
+        if n == 0:
             return 0
-        # one batched gather per field (the reference does one small memcpy
-        # per block, glb_hash_map.cu:223-229; batching is the TPU-native way)
-        occ = np.asarray(gmap.occ_val[slots])
-        typ = np.asarray(gmap.vox_type[slots])
-        dist = np.asarray(gmap.dist_sq[slots])
-        coc = np.asarray(gmap.coc[slots])
-        keys = idx + origin_blk[None, :]
+        keys = np.asarray(state.arch_keys[:n])
+        occ = np.asarray(state.a_occ[:n])
+        typ = np.asarray(state.a_type[:n])
+        dist = np.asarray(state.a_dist[:n])
+        coc = np.asarray(state.a_coc[:n])
         for i, key in enumerate(map(tuple, keys)):
             self.blocks[key] = {
                 "occ_val": occ[i], "vox_type": typ[i],
                 "dist_sq": dist[i], "coc": coc[i],
             }
-        return len(keys)
+        return n
 
     # -- consumers ------------------------------------------------------
     def occupied_cloud(self, voxel_width: float):

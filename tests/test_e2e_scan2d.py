@@ -64,7 +64,7 @@ def test_scan2d_end_to_end(small_cfg):
         assert interior.any()
         np.testing.assert_array_equal(got[interior], d2[interior])
 
-    assert out.alloc_dropped == 0
+    assert out.arch_dropped == 0
     assert out.relax_iters >= 1
 
 

@@ -5,9 +5,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from gie_mapping_tpu.map_state import GlobalMap, canvas_geometry
+from gie_mapping_tpu.map_state import MapState, canvas_geometry
 from gie_mapping_tpu.models.pipeline import merge_frame
-from gie_mapping_tpu.parallel.mesh import make_mesh, shard_global_map
+from gie_mapping_tpu.parallel.mesh import make_mesh, shard_state
 from gie_mapping_tpu.utils.config import scan2d_config
 from gie_mapping_tpu.utils.constants import VOX_FREE, VOX_OCCUPIED
 
@@ -33,9 +33,9 @@ def _inst(cfg, seed):
 
 
 def _run(cfg, mesh, n_frames=3):
-    gmap = GlobalMap.create(cfg)
+    gmap = MapState.create(cfg)
     if mesh is not None:
-        gmap = shard_global_map(gmap, mesh)
+        gmap = shard_state(gmap, mesh)
     outs = []
     for i in range(n_frames):
         pvt = np.asarray([4 * i, 0, 0], np.int32)

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 import jax.numpy as jnp
 
-from gie_mapping_tpu.map_state import GlobalMap, canvas_geometry
+from gie_mapping_tpu.map_state import MapState, canvas_geometry
 from gie_mapping_tpu.models.pipeline import merge_frame
 from gie_mapping_tpu.utils.config import scan2d_config
 from gie_mapping_tpu.utils.constants import (
@@ -49,7 +49,7 @@ def test_lower_outside_propagates_beyond_window():
     later leave the window (lower_out wave, wave_core.cuh:229-350)."""
     cfg = _cfg(fast=False)
     X, Y, Z = cfg.local_size
-    gmap = GlobalMap.create(cfg)
+    gmap = MapState.create(cfg)
 
     # frame 1 at pivot A: free window with one obstacle at the window centre
     inst = _full_free(cfg)
@@ -76,7 +76,7 @@ def test_raise_outside_on_disappearing_obstacle():
     must be raised (wave_core.cuh:103-224)."""
     cfg = _cfg(fast=False, cutoff=6.0)
     X, Y, Z = cfg.local_size
-    gmap = GlobalMap.create(cfg)
+    gmap = MapState.create(cfg)
 
     # frame 1: obstacle near the +x window edge
     inst = _full_free(cfg)
@@ -113,7 +113,7 @@ def test_limited_observation_keeps_outside_coc():
     unify_helper.cuh:201-273)."""
     cfg = _cfg(fast=False, cutoff=6.0)
     X, Y, Z = cfg.local_size
-    gmap = GlobalMap.create(cfg)
+    gmap = MapState.create(cfg)
 
     inst = _full_free(cfg)
     ox, oy, oz = 2, Y // 2, Z // 2
@@ -137,7 +137,7 @@ def test_fast_mode_still_sees_boundary_seeds():
     unify_helper.cuh:320-399)."""
     cfg = _cfg(fast=True, cutoff=6.0)
     X, Y, Z = cfg.local_size
-    gmap = GlobalMap.create(cfg)
+    gmap = MapState.create(cfg)
 
     inst = _full_free(cfg)
     ox, oy, oz = 2, Y // 2, Z // 2
@@ -154,7 +154,7 @@ def test_cutoff_limits_outside_propagation():
     (wave_core.cuh:125-126,259-262)."""
     cfg = _cfg(fast=False, cutoff=0.6)  # 3 grids -> cutoff_sq = 9
     X, Y, Z = cfg.local_size
-    gmap = GlobalMap.create(cfg)
+    gmap = MapState.create(cfg)
 
     inst = _full_free(cfg)
     inst[X // 2, Y // 2, Z // 2] = VOX_OCCUPIED
@@ -168,7 +168,7 @@ def test_occupancy_lowpass_hysteresis():
     0.8 low-pass (250*0.8=200 > thresh=180; then 0.5*200=100 < 180 clears)."""
     cfg = _cfg(fast=True)
     X, Y, Z = cfg.local_size
-    gmap = GlobalMap.create(cfg)
+    gmap = MapState.create(cfg)
     v = (X // 2, Y // 2, Z // 2)
 
     inst = np.zeros(cfg.local_size, np.int8)

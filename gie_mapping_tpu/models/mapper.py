@@ -276,7 +276,9 @@ class VolumetricMapper:
         vmask[:n] = True if valid is None else np.asarray(valid, bool)[:n]
 
         world = proj.l2g(jnp.asarray(buf))
-        inst, counts = rc.pointcloud_raycast(
+        kernel = (rc.pointcloud_raycast if cfg.raycast_mode == "dda"
+                  else rc.pointcloud_project)
+        inst, counts = kernel(
             world, jnp.asarray(vmask), proj.trans, jnp.asarray(pvt),
             local_size=cfg.local_size, voxel_width=cfg.voxel_width,
             ogm_min_h=cfg.ogm_min_h, ogm_max_h=cfg.ogm_max_h,

@@ -149,16 +149,6 @@ def merge_frame_impl(
     canvas_occ = _uncrop(state.occ_val, new_occ_win, win_off)
     canvas_type = _uncrop(state.vox_type, new_type_win, win_off)
 
-    # ---- batch local EDT (local_edt_core.h) -----------------------------
-    batch = batch_edt(glb_type, max_width=cfg.max_width)
-
-    # ---- reconcile with stored global values (MarkLimitedObserve) -------
-    seed_dist, seed_coc = reconcile_window(
-        batch, win(state.dist_sq), win(state.coc), glb_type, pvt, local_size
-    )
-    dist = _uncrop(state.dist_sq, seed_dist, win_off)
-    coc = _uncrop(state.coc, seed_coc, win_off)
-
     # ---- masks ----------------------------------------------------------
     window_mask = _uncrop(
         jnp.zeros(canvas_size, jnp.bool_), jnp.ones(local_size, jnp.bool_), win_off
@@ -166,19 +156,65 @@ def merge_frame_impl(
     observed_canvas = canvas_type != VOX_UNKNOWN
     outside_observed = observed_canvas & ~window_mask
 
-    # ---- raise: invalidate disappeared obstacles (wave A) ---------------
-    if not cfg.fast_mode:
-        dist, coc, _ = invalidate_disappeared(
-            dist, coc, outside_observed, glb_type, pvt, local_size
+    if cfg.merge_mode == "canvas_edt":
+        # ---- one exact separable EDT over the whole canvas --------------
+        # Replaces the reference's batch-EDT + MarkLimitedObserve +
+        # raise/lower wavefront composition (local_edt_core.h +
+        # unify_helper.cuh:201-446 + wave_core.cuh) with a single dense
+        # 3-phase transform over the CURRENT observed-occupied set: on TPU
+        # the active region is bounded and dense, so an exact recompute is
+        # both cheaper than iterating the wavefront fixed point and more
+        # accurate (true Voronoi; disappeared obstacles — the raise wave —
+        # fall out automatically because the site set is the live occupancy).
+        full = batch_edt(canvas_type, max_width=sum(canvas_size))
+        new_dist = jnp.where(full["valid"], full["dist_sq"], EMPTY_VALUE)
+        new_coc = jnp.where(
+            full["valid"][..., None],
+            (full["coc"] + canvas_origin_vox).astype(jnp.int16),
+            COC_INVALID16,
+        )
+        # limited observation, canvas scale (MarkLimitedObserve semantics,
+        # unify_helper.cuh:249-255): memory of obstacles BEYOND the canvas
+        # survives when it is closer than anything observable now
+        old_coc_rel = state.coc.astype(jnp.int32) - canvas_origin_vox
+        old_valid = state.coc[..., 0] != COC_INVALID16
+        cs_arr = jnp.asarray(canvas_size, jnp.int32)
+        old_in_canvas = jnp.all((old_coc_rel >= 0) & (old_coc_rel < cs_arr), -1)
+        keep_old = old_valid & ~old_in_canvas & (state.dist_sq < new_dist)
+        dist = jnp.where(keep_old, state.dist_sq, new_dist)
+        coc = jnp.where(keep_old[..., None], state.coc, new_coc)
+        relax_iters = jnp.int32(0)
+    else:
+        # ---- iterative wavefront-equivalent path ("relax") ---------------
+        batch = batch_edt(glb_type, max_width=cfg.max_width)
+        seed_dist, seed_coc = reconcile_window(
+            batch, win(state.dist_sq), win(state.coc), glb_type, pvt, local_size
+        )
+        dist = _uncrop(state.dist_sq, seed_dist, win_off)
+        coc = _uncrop(state.coc, seed_coc, win_off)
+
+        # raise: invalidate disappeared obstacles (wave A)
+        if not cfg.fast_mode:
+            dist, coc, _ = invalidate_disappeared(
+                dist, coc, outside_observed, glb_type, pvt, local_size
+            )
+
+        # lower in/out fixed point (waves B + C)
+        can_update = window_mask if cfg.fast_mode else (window_mask | outside_observed)
+        dist, coc, relax_iters = relax_fixed_point(
+            dist, coc, can_update, outside_observed, window_mask, canvas_origin_vox,
+            canvas_size=canvas_size, cutoff_sq=cfg.cutoff_grids_sq,
+            max_iters=cfg.relax_iters,
         )
 
-    # ---- lower in/out fixed point (waves B + C) -------------------------
-    can_update = window_mask if cfg.fast_mode else (window_mask | outside_observed)
-    dist, coc, relax_iters = relax_fixed_point(
-        dist, coc, can_update, outside_observed, window_mask, canvas_origin_vox,
-        canvas_size=canvas_size, cutoff_sq=cfg.cutoff_grids_sq,
-        max_iters=cfg.relax_iters,
-    )
+    if cfg.merge_mode == "canvas_edt":
+        # gate writes: window always (finalized below), outside only when the
+        # full wavefront set is active (fast_mode skips lower/raise-out,
+        # glb_hash_map.cu:174-192) and only where observed
+        out_write = jnp.zeros_like(outside_observed) if cfg.fast_mode else outside_observed
+        writable = window_mask | out_write
+        dist = jnp.where(writable, dist, state.dist_sq)
+        coc = jnp.where(writable[..., None], coc, state.coc)
 
     # ---- frontiers (obtainFrontiers FNT marking) ------------------------
     glb_type_out, fnt = mark_frontiers(canvas_type, win, glb_type)

@@ -63,20 +63,30 @@ def lower_envelope(fsq, chunk: int = 8):
 
     fsq: int32 [N, ...].  Returns (best [N, ...], argmin-site [N, ...]).
     Ties resolve to the smallest site index (first minimum).
+
+    Single-reduction trick: (cost, site) pairs are packed into one int32 as
+    (min(cost, CAP) << idx_bits) | site so value+argmin come from ONE min
+    reduce (halves the reduction traffic vs separate min + argmin).  Costs at
+    or above CAP saturate — they are 'infinite' alternatives that only win
+    when every site is invalid, in which case the caller's validity gather
+    marks the result invalid anyway.
     """
     N = fsq.shape[0]
     n_chunks = -(-N // chunk)
+    idx_bits = (N - 1).bit_length() if N > 1 else 1
+    cap = (1 << (31 - idx_bits)) - 1
     i_idx = jnp.arange(N, dtype=jnp.int32)
     tail_shape = (1,) * (fsq.ndim - 1)
+    fsq_c = jnp.minimum(fsq, cap)
 
     def one_chunk(x_start):
         xs = x_start + jnp.arange(chunk, dtype=jnp.int32)
         dx = xs[:, None] - i_idx[None, :]
         dsq = (dx * dx).reshape((chunk, N) + tail_shape)
-        cand = dsq + fsq[None]
-        best = jnp.min(cand, axis=1)
-        arg = jnp.argmin(cand, axis=1).astype(jnp.int32)
-        return best, arg
+        cand = jnp.minimum(dsq + fsq_c[None], cap)
+        packed = (cand << idx_bits) | i_idx.reshape((1, N) + tail_shape)
+        best = jnp.min(packed, axis=1)
+        return best >> idx_bits, best & ((1 << idx_bits) - 1)
 
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     best, arg = jax.lax.map(one_chunk, starts)

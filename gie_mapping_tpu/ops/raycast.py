@@ -38,6 +38,96 @@ def max_dda_steps(local_size) -> int:
 @partial(
     jax.jit,
     static_argnames=("local_size", "voxel_width", "ogm_min_h", "ogm_max_h",
+                     "for_motion_planner", "robot_r2_grids", "n_theta", "n_phi"),
+)
+def pointcloud_project(points, valid, origin, pvt, *, local_size, voxel_width,
+                       ogm_min_h, ogm_max_h, for_motion_planner: bool,
+                       robot_r2_grids: int, n_theta: int = 1024, n_phi: int = 512):
+    """Dense projective pointcloud OGM update (TPU-native default).
+
+    Same contract as `pointcloud_raycast`, but free space is carved by a
+    spherical min-range image instead of per-ray DDA walks: endpoints are
+    registered exactly (one small scatter, mirroring registerLocObs),
+    the cloud is binned into a (theta, phi) min-depth panorama, and every
+    window voxel tests its own range against its bin — a pure dense
+    gather/compare, the same inverse-model structure as the reference's own
+    projection sensors (hokuyo/realsense/vlp16 kernels).  This is the
+    hardware-aligned formulation: per-voxel-visit scatter-adds (2M+ serialized
+    scatter indices per frame in the exact DDA walk) are replaced by VPU-wide
+    dense math.  Early stop at occupied surfaces falls out of the min-depth
+    binning.  Divergence from exact DDA (documented): free-space counts are
+    per-bin ray counts rather than per-cell visit counts, and voxels whose
+    centre's bin holds no ray stay unknown.
+    """
+    X, Y, Z = local_size
+    size = jnp.asarray(local_size, jnp.int32)
+
+    glb_crd = geo.pos2coord(points, voxel_width)
+    loc_crd = glb_crd - pvt
+
+    # ---- exact endpoint registration (pntcld_raycast.cu:83-102) ----------
+    hgt_ok = (points[..., 2] >= ogm_min_h) & (points[..., 2] <= ogm_max_h)
+    inside = geo.inside_volume(loc_crd, size)
+    reg_mask = valid & hgt_ok & inside
+    flat = (loc_crd[:, 0] * (Y * Z) + loc_crd[:, 1] * Z + loc_crd[:, 2])
+    flat = jnp.where(reg_mask, flat, 0)
+    endpoint_cnt = jnp.zeros((X * Y * Z,), jnp.int32)
+    endpoint_cnt = endpoint_cnt.at[flat].add(jnp.where(reg_mask, 1, 0))
+    endpoint_cnt = endpoint_cnt.reshape(X, Y, Z)
+
+    # ---- spherical min-range panorama ------------------------------------
+    rel = points - origin[None, :]
+    r = jnp.linalg.norm(rel, axis=-1)
+    theta = jnp.arctan2(rel[:, 1], rel[:, 0])
+    rho = jnp.sqrt(rel[:, 0] ** 2 + rel[:, 1] ** 2)
+    phi = jnp.arctan2(rel[:, 2], rho)
+    bt = jnp.clip((theta + jnp.pi) * (n_theta / (2 * jnp.pi)), 0, n_theta - 1).astype(jnp.int32)
+    bp = jnp.clip((phi + jnp.pi / 2) * (n_phi / jnp.pi), 0, n_phi - 1).astype(jnp.int32)
+    bin_id = jnp.where(valid, bt * n_phi + bp, 0)
+
+    big = jnp.float32(1e30)
+    depth = jnp.full((n_theta * n_phi,), big, jnp.float32)
+    depth = depth.at[bin_id].min(jnp.where(valid, r, big))
+    cnt = jnp.zeros((n_theta * n_phi,), jnp.int32)
+    cnt = cnt.at[bin_id].add(jnp.where(valid, 1, 0))
+
+    # ---- dense free-space carve ------------------------------------------
+    loc = geo.local_coord_grid(local_size)
+    vpos = geo.coord2pos(loc + pvt[None, None, None, :], voxel_width)
+    vrel = vpos - origin[None, None, None, :]
+    vr = jnp.linalg.norm(vrel, axis=-1)
+    vtheta = jnp.arctan2(vrel[..., 1], vrel[..., 0])
+    vrho = jnp.sqrt(vrel[..., 0] ** 2 + vrel[..., 1] ** 2)
+    vphi = jnp.arctan2(vrel[..., 2], vrho)
+    vbt = jnp.clip((vtheta + jnp.pi) * (n_theta / (2 * jnp.pi)), 0, n_theta - 1).astype(jnp.int32)
+    vbp = jnp.clip((vphi + jnp.pi / 2) * (n_phi / jnp.pi), 0, n_phi - 1).astype(jnp.int32)
+    vbin = vbt * n_phi + vbp
+
+    vdepth = depth[vbin]
+    vcnt = cnt[vbin]
+    max_length = 0.707 * X * voxel_width
+    freed = (vdepth < big) & (vr + voxel_width < vdepth) & (vr <= max_length)
+
+    ray_count = jnp.where(
+        endpoint_cnt > 0, endpoint_cnt,
+        jnp.where(freed, -jnp.minimum(vcnt, 10), 0),
+    )
+
+    if for_motion_planner:
+        half = jnp.asarray([s // 2 for s in local_size], jnp.int32)
+        d = loc - half
+        sphere = jnp.sum(d * d, axis=-1) <= robot_r2_grids
+        ray_count = jnp.where(sphere, -1, ray_count)
+
+    inst_type = jnp.where(
+        ray_count > 0, VOX_OCCUPIED, jnp.where(ray_count < 0, VOX_FREE, VOX_UNKNOWN)
+    ).astype(jnp.int8)
+    return inst_type, ray_count
+
+
+@partial(
+    jax.jit,
+    static_argnames=("local_size", "voxel_width", "ogm_min_h", "ogm_max_h",
                      "for_motion_planner", "robot_r2_grids"),
 )
 def pointcloud_raycast(points, valid, origin, pvt, *, local_size, voxel_width,

@@ -69,6 +69,14 @@ class MapConfig:
 
     # TPU-specific knobs (no reference counterpart)
     max_raycast_points: int = 65536  # static per-frame point-cloud capacity
+    # "projective" = dense spherical min-range carve (TPU-native default);
+    # "dda" = exact per-ray Amanatides-Woo walk (reference-faithful)
+    raycast_mode: str = "projective"
+    # "canvas_edt" = one exact separable EDT over the dense canvas per frame
+    # (TPU-native default: cheaper than iterating and exactly the Voronoi
+    # limit the wavefronts converge to); "relax" = iterative fixed-point
+    # relaxation mirroring the reference's raise/lower wavefront composition
+    merge_mode: str = "canvas_edt"
     max_relax_iters: Optional[int] = None  # cap on fixed-point sweeps (None=auto)
     stream_max_blocks: Optional[int] = None  # compaction size for D2H streaming
 

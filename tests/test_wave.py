@@ -17,10 +17,21 @@ from gie_mapping_tpu.utils.constants import (
 )
 
 
+import pytest as _pytest
+
+# run every semantics test against BOTH merge engines: the exact canvas-EDT
+# default and the reference-mirroring iterative relaxation
+@_pytest.fixture(params=["canvas_edt", "relax"], autouse=True)
+def _merge_mode(request):
+    global _MODE
+    _MODE = request.param
+    yield request.param
+
+
 def _cfg(fast=False, cutoff=4.0):
     return scan2d_config(local_size_m=(3.2, 3.2, 1.6), voxel_width=0.2,
                          fast_mode=fast, cutoff_dist=cutoff, max_blocks=2048,
-                         for_motion_planner=False)
+                         for_motion_planner=False, merge_mode=_MODE)
 
 
 def _fence(cfg):

@@ -123,7 +123,7 @@ class _ExtObs:
 class VolumetricMapper:
     """The mapping engine: feed poses + sensor frames, read cost maps."""
 
-    def __init__(self, cfg: MapConfig, device=None):
+    def __init__(self, cfg: MapConfig, device=None, log_path: Optional[str] = None):
         self.cfg = cfg
         self.device = device
         self.state = MapState.create(cfg)
@@ -133,6 +133,16 @@ class VolumetricMapper:
         self.map_ct = 0
         self.mirror = None  # lazily-constructed runtime.host_mirror.HostMirror
         self.last_output: Optional[FrameOutput] = None
+        self.logger = None
+        if log_path is not None or cfg.profile_loc_rms or cfg.profile_glb_rms:
+            from ..runtime.logger import CsvLogger
+
+            self.logger = CsvLogger(log_path)
+        self.gt_checker = None
+        if cfg.profile_loc_rms or cfg.profile_glb_rms:
+            from ..runtime.gt_checker import GroundTruthChecker
+
+            self.gt_checker = GroundTruthChecker()
 
     # ------------------------------------------------------------------
     def _frame_geometry(self, robot_pos):
@@ -183,7 +193,64 @@ class VolumetricMapper:
             self.map_ct % cfg.vis_interval == 0
         ):
             self._stream(out, origin_blk)
+
+        # profiling path (reference: visualize() pauses the bag, checks RMSE
+        # and logs CSV, volumetric_mapper.h:320-356)
+        if self.gt_checker is not None and self.map_ct % cfg.vis_interval == 0:
+            self.gt_checker.check_frame(result, cfg.voxel_width, self.logger)
+        if self.logger is not None:
+            self.logger.log_frame(result.ogm_time_ms, result.edt_time_ms,
+                                  self.logger.take_pending_rmse())
         return result
+
+    # -- auxiliary channels --------------------------------------------
+    def process_ext_cloud(self, points, premap_ll=None, premap_ur=None):
+        """External-observer pointcloud -> DBSCAN clusters -> fence boxes
+        (CB_ext_cld/clustring, volumetric_mapper.cpp:391-497): the box set is
+        reset to the prior map, then one AABB per cluster is appended."""
+        from ..runtime.clustering import cloud_to_fence_boxes
+
+        if premap_ll is None:
+            premap_ll, premap_ur = [DEFAULT_FENCE_LL], [DEFAULT_FENCE_UR]
+        self.ext_obs.assign(premap_ll, premap_ur)
+        for ll, ur in cloud_to_fence_boxes(points, self.cfg.is_ext_obsv_3D):
+            self.ext_obs.append(ll, ur)
+        return self.ext_obs.n
+
+    def process_multiscan_cloud(self, proj: geo.Projection, points, ring_idx,
+                                ring_num=16, scan_num=360,
+                                phi_min=-0.2617994, phi_inc=0.0349066):
+        """3-D spinning-LiDAR frame from a raw (points, ring) cloud: converts
+        to range rings host-side (vlp16_map_maker.cpp:73-148; native C++ when
+        built) then runs the spherical-projection model."""
+        from ..runtime.rings import cloud_to_rings
+
+        rings_img, tmin, tinc = cloud_to_rings(points, ring_idx, ring_num, scan_num)
+        return self.process_multiscan(proj, rings_img, tmin, tinc, phi_min, phi_inc)
+
+    # -- persistence (no reference counterpart: the reference never
+    #    persists its map, SURVEY.md §5 'Checkpoint/resume: none') ------
+    def save(self, path: str):
+        import numpy as np
+
+        state_np = {f"state/{k}": np.asarray(getattr(self.state, k))
+                    for k in ("origin_blk", "occ_val", "vox_type", "dist_sq",
+                              "coc", "present", "arch_keys", "n_arch", "a_occ",
+                              "a_type", "a_dist", "a_coc", "arch_dropped")}
+        state_np["meta/map_ct"] = np.asarray(self.map_ct)
+        np.savez_compressed(path, **state_np)
+
+    def load(self, path: str):
+        import dataclasses as dc
+
+        import numpy as np
+
+        raw = np.load(path)
+        kw = {k.split("/", 1)[1]: jnp.asarray(raw[k]) for k in raw.files
+              if k.startswith("state/")}
+        self.state = dc.replace(self.state, **kw)
+        self.map_ct = int(raw["meta/map_ct"])
+        return self
 
     def _stream(self, out, origin_blk):
         """Changed-block device->host streaming into the CPU mirror

@@ -1,0 +1,46 @@
+"""CSV profile logger.
+
+Counterpart of the reference's csvfile (/root/reference/include/simple_logger.h:18-85)
+with the same per-frame schema: "Occupancy time, EDT time, RMSE"
+(volumetric_mapper.cpp:121-122,189,202)."""
+from __future__ import annotations
+
+import io
+from typing import Optional
+
+
+class CsvLogger:
+    HEADER = ("Occupancy time", "EDT time", "RMSE")
+
+    def __init__(self, path: Optional[str] = None):
+        self.path = path
+        self._fh = open(path, "w", newline="") if path else io.StringIO()
+        self._row = []
+        self._write_row(self.HEADER)
+        self._pending_rmse = -1.0
+
+    def _write_row(self, cells):
+        self._fh.write(",".join(str(c) for c in cells) + "\n")
+        self._fh.flush()
+
+    def log_frame(self, ogm_ms: float, edt_ms: float, rmse: float = -1.0):
+        self._write_row((f"{ogm_ms:.4f}", f"{edt_ms:.4f}", f"{rmse:.6f}"))
+
+    def log_rmse(self, rmse: float):
+        self._pending_rmse = rmse
+
+    def take_pending_rmse(self) -> float:
+        r = self._pending_rmse
+        self._pending_rmse = -1.0
+        return r
+
+    def getvalue(self) -> str:
+        if isinstance(self._fh, io.StringIO):
+            return self._fh.getvalue()
+        self._fh.flush()
+        with open(self.path) as f:
+            return f.read()
+
+    def close(self):
+        if not isinstance(self._fh, io.StringIO):
+            self._fh.close()

@@ -1,0 +1,120 @@
+"""Aux subsystems through the mapper: CSV logging, GT checking, external
+observer, multiscan-from-cloud, checkpoint/resume, host mirror streaming."""
+import numpy as np
+import pytest
+
+from gie_mapping_tpu.models.mapper import VolumetricMapper
+from gie_mapping_tpu.runtime.datasets import BoxWorld, circular_trajectory
+from gie_mapping_tpu.utils.config import scan2d_config, uav_laser3d_config
+from gie_mapping_tpu.utils.constants import VOX_OCCUPIED
+
+
+def _small(**kw):
+    base = dict(local_size_m=(6.0, 6.0, 1.2), voxel_width=0.2,
+                cutoff_dist=3.0, max_blocks=4096)
+    base.update(kw)
+    return scan2d_config(**base)
+
+
+def test_profiling_and_csv_log():
+    cfg = _small(profile_loc_rms=True)
+    world = BoxWorld.corridor(seed=3, n_pillars=4, extent=4.0)
+    mapper = VolumetricMapper(cfg)
+    for proj in circular_trajectory(3, radius=1.0):
+        r, tmin, tinc = world.scan_2d(proj, n_beams=180)
+        mapper.process_scan2d(proj, r, tmin, tinc)
+    assert mapper.gt_checker.last is not None
+    rmse, mx, mean_abs = mapper.gt_checker.last
+    assert rmse >= 0  # ran; absolute value includes out-of-window memory the
+    # window-only KNN cloud cannot see (same artifact as the reference's
+    # local-RMS mode)
+
+    # engine exactness: voxels whose closest obstacle lies in the window must
+    # match window KNN to float precision
+    from gie_mapping_tpu.runtime.gt_checker import knn_errors
+    from gie_mapping_tpu.utils.constants import VOX_OCCUPIED, VOX_UNKNOWN
+
+    out = mapper.last_output
+    types = out.glb_type
+    occ_idx = np.argwhere(types == VOX_OCCUPIED)
+    coc_loc = out.coc.astype(np.int64) - out.pvt
+    in_win = ((coc_loc >= 0) & (coc_loc < np.asarray(cfg.local_size))).all(-1)
+    sel = (types != VOX_UNKNOWN) & (out.dist_sq < 900000) & in_win
+    q_idx = np.argwhere(sel)
+    rmse2, mx2, _ = knn_errors((occ_idx + out.pvt) * cfg.voxel_width,
+                               (q_idx + out.pvt) * cfg.voxel_width,
+                               out.edt[sel] * cfg.voxel_width)
+    assert mx2 < 1e-3, (rmse2, mx2)
+
+    csv = mapper.logger.getvalue()
+    assert csv.startswith("Occupancy time,EDT time,RMSE")
+    assert len(csv.strip().splitlines()) == 4  # header + 3 frames
+
+
+def test_ext_observer_appends_boxes(rng):
+    cfg = _small()
+    mapper = VolumetricMapper(cfg)
+    cluster = rng.normal([1.0, 1.0, 1.0], 0.05, (40, 3)).astype(np.float32)
+    n = mapper.process_ext_cloud(cluster)
+    assert n == 2  # premap fence + 1 cluster box
+    # the appended box participates in fusion as an obstacle
+    world = BoxWorld.corridor(seed=3, n_pillars=0, extent=4.0)
+    proj = circular_trajectory(1, radius=0.3)[0]
+    r, tmin, tinc = world.scan_2d(proj, n_beams=360)
+    out = mapper.process_scan2d(proj, r, tmin, tinc)
+    # voxels inside the cluster box (around (1,1,*) within z clamp) occupied
+    v = np.floor(np.asarray([1.0, 1.0, 1.0]) / cfg.voxel_width + 0.5).astype(int) - out.pvt
+    assert out.glb_type[tuple(v)] == VOX_OCCUPIED
+
+
+def test_multiscan_from_cloud():
+    cfg = uav_laser3d_config(local_size_m=(6.0, 6.0, 1.6), voxel_width=0.2,
+                             max_blocks=4096, ogm_min_h=-10, ogm_max_h=10)
+    world = BoxWorld.corridor(seed=9, n_pillars=5, extent=4.0)
+    proj = circular_trajectory(1, radius=0.5, height=0.8)[0]
+    # build a synthetic ring cloud from the analytic multiscan image
+    img, tmin, tinc, pmin, pinc = world.multiscan(proj, ring_num=16, scan_num=180)
+    rr, tt = np.meshgrid(np.arange(16), np.arange(180), indexing="ij")
+    ok = ~np.isnan(img)
+    theta = tmin + tt[ok] * tinc
+    phi = pmin + rr[ok] * pinc
+    horiz = img[ok]
+    pts = np.stack([horiz * np.cos(theta), horiz * np.sin(theta),
+                    horiz * np.tan(phi)], -1).astype(np.float32)
+    out = mapper_out = VolumetricMapper(cfg).process_multiscan_cloud(
+        proj, pts, rr[ok].astype(np.int32), ring_num=16, scan_num=180,
+        phi_min=pmin, phi_inc=pinc)
+    assert (out.glb_type == VOX_OCCUPIED).sum() > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _small()
+    world = BoxWorld.corridor(seed=3, n_pillars=4, extent=4.0)
+    m1 = VolumetricMapper(cfg)
+    poses = circular_trajectory(4, radius=1.0)
+    for proj in poses[:3]:
+        r, tmin, tinc = world.scan_2d(proj, n_beams=180)
+        m1.process_scan2d(proj, r, tmin, tinc)
+    p = str(tmp_path / "ckpt.npz")
+    m1.save(p)
+
+    m2 = VolumetricMapper(cfg).load(p)
+    r, tmin, tinc = world.scan_2d(poses[3], n_beams=180)
+    o1 = m1.process_scan2d(poses[3], r, tmin, tinc)
+    o2 = m2.process_scan2d(poses[3], r, tmin, tinc)
+    np.testing.assert_array_equal(o1.dist_sq, o2.dist_sq)
+    np.testing.assert_array_equal(o1.glb_type, o2.glb_type)
+
+
+def test_host_mirror_streaming():
+    cfg = _small(display_glb_edt=True, display_glb_ogm=True)
+    world = BoxWorld.corridor(seed=3, n_pillars=4, extent=4.0)
+    mapper = VolumetricMapper(cfg)
+    for proj in circular_trajectory(3, radius=1.0):
+        r, tmin, tinc = world.scan_2d(proj, n_beams=180)
+        out = mapper.process_scan2d(proj, r, tmin, tinc)
+    assert mapper.mirror is not None and len(mapper.mirror) > 0
+    cloud = mapper.mirror.occupied_cloud(cfg.voxel_width)
+    assert len(cloud) > 0
+    pos, dist = mapper.mirror.edt_cloud(cfg.voxel_width)
+    assert len(pos) == len(dist) > 0

@@ -14,13 +14,16 @@ TPU-native redesign of the reference's batch local EDT
   Felzenszwalb parabola stack per line plus cuTT tensor transposes.  On TPU
   the exact envelope `min_i ((x-i)^2 + f(i))` is computed as a chunked dense
   min-reduction: for line length n this is O(n^2) multiply-add-mins of
-  perfectly regular VPU work — for n ≈ 100..200 that is far below the
-  memory-bandwidth roofline and has no serial dependency at all.  The cuTT
-  transposes disappear (jnp.moveaxis is free under XLA layout assignment).
+  perfectly regular VPU work — far below the memory roofline for n ~ 100-250
+  and with no serial dependency.  The cuTT transposes disappear
+  (jnp.moveaxis is free under XLA layout assignment).
 
-The coc is carried exactly as in the reference: phase 1 records the nearest
-obstacle's y; each envelope phase records the winning site index and gathers
-the upstream coc components through it (local_edt_core.h:116-134,169-192).
+The coc is carried exactly as in the reference (local_edt_core.h:116-134,
+169-192), but — crucially for TPU — via *fused payload selection inside the
+min-reduction* rather than post-hoc argmin gathers: `take_along_axis` lowers
+to serialized TPU gathers that cost ~100x the envelope itself, so each
+envelope pass also reduces its upstream coc components through a one-hot
+mask.  Value+argmin come from ONE packed int32 min reduce.
 """
 from __future__ import annotations
 
@@ -58,18 +61,15 @@ def _phase1_along_y(occ, max_width):
     return g1, coc_y, valid
 
 
-def lower_envelope(fsq, chunk: int = 8):
+def lower_envelope(fsq, payloads=(), chunk: int = 8):
     """Exact lower envelope min_i ((x-i)^2 + fsq[i]) along axis 0.
 
-    fsq: int32 [N, ...].  Returns (best [N, ...], argmin-site [N, ...]).
-    Ties resolve to the smallest site index (first minimum).
+    fsq: int32 [N, ...].  payloads: per-site int32 arrays [N, ...] whose
+    winning-site values are co-selected without gathers.
 
-    Single-reduction trick: (cost, site) pairs are packed into one int32 as
-    (min(cost, CAP) << idx_bits) | site so value+argmin come from ONE min
-    reduce (halves the reduction traffic vs separate min + argmin).  Costs at
-    or above CAP saturate — they are 'infinite' alternatives that only win
-    when every site is invalid, in which case the caller's validity gather
-    marks the result invalid anyway.
+    Returns (best [N, ...], site [N, ...], *selected_payloads).
+    Ties resolve to the smallest site index (the packed key (cost<<b)|site is
+    unique per site, so every output is selected from the SAME winner).
     """
     N = fsq.shape[0]
     n_chunks = -(-N // chunk)
@@ -77,6 +77,7 @@ def lower_envelope(fsq, chunk: int = 8):
     cap = (1 << (31 - idx_bits)) - 1
     i_idx = jnp.arange(N, dtype=jnp.int32)
     tail_shape = (1,) * (fsq.ndim - 1)
+    i_b = i_idx.reshape((1, N) + tail_shape)
     fsq_c = jnp.minimum(fsq, cap)
 
     def one_chunk(x_start):
@@ -84,19 +85,25 @@ def lower_envelope(fsq, chunk: int = 8):
         dx = xs[:, None] - i_idx[None, :]
         dsq = (dx * dx).reshape((chunk, N) + tail_shape)
         cand = jnp.minimum(dsq + fsq_c[None], cap)
-        packed = (cand << idx_bits) | i_idx.reshape((1, N) + tail_shape)
+        packed = (cand << idx_bits) | i_b
         best = jnp.min(packed, axis=1)
-        return best >> idx_bits, best & ((1 << idx_bits) - 1)
+        site = best & ((1 << idx_bits) - 1)
+        outs = [best >> idx_bits, site]
+        if payloads:
+            hot = i_b == site[:, None]
+            for p in payloads:
+                outs.append(jnp.max(jnp.where(hot, p[None], jnp.int32(-(1 << 30))), axis=1))
+        return tuple(outs)
 
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    best, arg = jax.lax.map(one_chunk, starts)
+    res = jax.lax.map(one_chunk, starts)
     flat = (n_chunks * chunk,) + fsq.shape[1:]
-    return best.reshape(flat)[:N], arg.reshape(flat)[:N]
+    return tuple(r.reshape(flat)[:N] for r in res)
 
 
 @partial(jax.jit, static_argnames=("max_width", "chunk"))
 def batch_edt(glb_type, max_width: int, chunk: int = 8):
-    """Batch local EDT over the scrolling window.
+    """Batch local EDT over a dense grid.
 
     Args:
       glb_type: int8/int32 [X,Y,Z] voxel types; OCCUPIED voxels are sites.
@@ -104,10 +111,10 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8):
 
     Returns dict with:
       dist_sq: int32 [X,Y,Z] squared Euclidean distance (EMPTY_VALUE where no
-               obstacle is reachable in the window — matches the reference's
-               "sees nothing" sentinel handling in MarkLimitedObserve,
+               obstacle is reachable — matches the reference's "sees nothing"
+               sentinel handling in MarkLimitedObserve,
                unify_helper.cuh:225-231).
-      coc:     int32 [X,Y,Z,3] local coordinate of the closest obstacle
+      coc:     int32 [X,Y,Z,3] grid coordinate of the closest obstacle
                (INVALID_COC triple where invalid).
       valid:   bool [X,Y,Z].
     """
@@ -119,10 +126,10 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8):
     g1sq = jnp.where(valid1, g1 * g1, _BIG)
 
     # ---- phase 2: lower envelope along x --------------------------------
-    d2, site_x = lower_envelope(g1sq, chunk=chunk)  # [X,Y,Z] each
-    coc_x2 = site_x
-    coc_y2 = jnp.take_along_axis(coc_y1, site_x, axis=0)
-    valid2 = jnp.take_along_axis(valid1, site_x, axis=0)
+    d2, coc_x2, coc_y2, valid2i = lower_envelope(
+        g1sq, payloads=(coc_y1, valid1.astype(jnp.int32)), chunk=chunk
+    )
+    valid2 = valid2i > 0
     d2 = jnp.where(valid2, d2, _BIG)
 
     if Z == 1:
@@ -130,13 +137,18 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8):
         coc_z = jnp.zeros_like(coc_x)
     else:
         # ---- phase 3: lower envelope along z ----------------------------
-        d2_zfirst = jnp.moveaxis(d2, 2, 0)  # [Z,X,Y]
-        d3, site_z = lower_envelope(d2_zfirst, chunk=chunk)
+        d2_z = jnp.moveaxis(d2, 2, 0)  # [Z,X,Y]
+        d3, coc_z3, coc_x3, coc_y3, valid3i = lower_envelope(
+            d2_z,
+            payloads=(jnp.moveaxis(coc_x2, 2, 0), jnp.moveaxis(coc_y2, 2, 0),
+                      jnp.moveaxis(valid2.astype(jnp.int32), 2, 0)),
+            chunk=chunk,
+        )
         dist_sq = jnp.moveaxis(d3, 0, 2)
-        coc_z = jnp.moveaxis(site_z, 0, 2)
-        coc_x = jnp.take_along_axis(coc_x2, coc_z, axis=2)
-        coc_y = jnp.take_along_axis(coc_y2, coc_z, axis=2)
-        valid = jnp.take_along_axis(valid2, coc_z, axis=2)
+        coc_z = jnp.moveaxis(coc_z3, 0, 2)
+        coc_x = jnp.moveaxis(coc_x3, 0, 2)
+        coc_y = jnp.moveaxis(coc_y3, 0, 2)
+        valid = jnp.moveaxis(valid3i, 0, 2) > 0
 
     dist_sq = jnp.where(valid, dist_sq, EMPTY_VALUE).astype(jnp.int32)
     inv = jnp.int32(INVALID_COC)

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Run any benchmark case end-to-end — the `roslaunch GIE <case>.launch`
+equivalent (reference README.md:106-145).
+
+Data sources:
+  * default: procedural world + analytic sensor simulation (runtime/datasets)
+  * --replay frames.npz: offline-converted bag (save_frames_npz format)
+
+Examples:
+  python examples/run_case.py cow_lady --frames 20
+  python examples/run_case.py scan2D --frames 50 --profile
+  python examples/run_case.py depthcam --replay /data/depth_frames.npz
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from gie_mapping_tpu.models.mapper import VolumetricMapper
+from gie_mapping_tpu.runtime.datasets import (
+    BoxWorld,
+    circular_trajectory,
+    load_frames_npz,
+)
+from gie_mapping_tpu.utils import geometry as geo
+from gie_mapping_tpu.utils.config import load_config
+
+
+def synthetic_frames(cfg, n_frames):
+    world = BoxWorld.corridor(seed=11, n_pillars=8,
+                              extent=max(cfg.local_size_m[:2]) * 0.7,
+                              height=max(1.5, cfg.local_size_m[2]))
+    poses = circular_trajectory(n_frames, radius=cfg.local_size_m[0] * 0.15,
+                                height=cfg.local_size_m[2] * 0.4)
+    for i, proj in enumerate(poses):
+        case = cfg.data_case
+        if case in ("cow_lady", "ugv_corridor", "uav_raycast_fine"):
+            pts = world.pointcloud(proj, n_rays=8192, seed=i,
+                                   max_range=0.8 * cfg.local_size_m[0])
+            yield proj, ("pointcloud", pts)
+        elif case == "scan2D":
+            r, tmin, tinc = world.scan_2d(proj, n_beams=360)
+            yield proj, ("scan", (r, tmin, tinc))
+        elif case == "depthcam":
+            depth, fx, fy, cx, cy = world.depth_image(proj)
+            yield proj, ("depth", (depth, fx, fy, cx, cy))
+        elif case == "laser3D":
+            img, tmin, tinc, pmin, pinc = world.multiscan(proj)
+            yield proj, ("multiscan", (img, tmin, tinc, pmin, pinc))
+        else:
+            raise KeyError(case)
+
+
+def replay_frames(path):
+    for fr in load_frames_npz(path):
+        proj = geo.Projection.from_pose(fr["position"], fr["quat_wxyz"])
+        if "points" in fr:
+            yield proj, ("pointcloud", fr["points"])
+        elif "ranges" in fr:
+            yield proj, ("scan", (fr["ranges"], float(fr["theta_min"]),
+                                  float(fr["theta_inc"])))
+        elif "depth" in fr:
+            yield proj, ("depth", (fr["depth"], float(fr["fx"]), float(fr["fy"]),
+                                   float(fr["cx"]), float(fr["cy"])))
+        elif "rings" in fr:
+            yield proj, ("multiscan", (fr["rings"], float(fr["theta_min"]),
+                                       float(fr["theta_inc"]), float(fr["phi_min"]),
+                                       float(fr["phi_inc"])))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("case", choices=["scan2D", "cow_lady", "ugv_corridor",
+                                     "depthcam", "laser3D", "uav_raycast_fine"])
+    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--replay", type=str, default=None)
+    ap.add_argument("--profile", action="store_true",
+                    help="enable RMSE ground-truth checking + CSV log")
+    ap.add_argument("--log", type=str, default=None)
+    ap.add_argument("--save", type=str, default=None, help="checkpoint path")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    cfg = load_config(args.case)
+    if args.profile:
+        cfg = cfg.replace(profile_loc_rms=True)
+    mapper = VolumetricMapper(cfg, log_path=args.log)
+
+    src = replay_frames(args.replay) if args.replay else synthetic_frames(cfg, args.frames)
+    t0 = time.perf_counter()
+    n = 0
+    for proj, (kind, payload) in src:
+        if kind == "pointcloud":
+            out = mapper.process_pointcloud(proj, payload)
+        elif kind == "scan":
+            out = mapper.process_scan2d(proj, *payload)
+        elif kind == "depth":
+            out = mapper.process_depth(proj, *payload)
+        elif kind == "multiscan":
+            out = mapper.process_multiscan(proj, *payload)
+        n += 1
+    out.fetch()
+    wall = time.perf_counter() - t0
+
+    if args.save:
+        mapper.save(args.save)
+
+    print(json.dumps({
+        "case": args.case,
+        "frames": n,
+        "wall_s": round(wall, 3),
+        "ms_per_frame": round(wall * 1e3 / max(n, 1), 2),
+        "occupied_voxels": int((out.glb_type == 2).sum()),
+        "frontier_voxels": int(out.fnt_count),
+        "mirror_blocks": len(mapper.mirror) if mapper.mirror else 0,
+        "arch_dropped": int(out.arch_dropped),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -101,8 +101,15 @@ def lower_envelope(fsq, payloads=(), chunk: int = 8):
     return tuple(r.reshape(flat)[:N] for r in res)
 
 
-@partial(jax.jit, static_argnames=("max_width", "chunk"))
-def batch_edt(glb_type, max_width: int, chunk: int = 8):
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+@partial(jax.jit, static_argnames=("max_width", "chunk", "pallas"))
+def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = None):
     """Batch local EDT over a dense grid.
 
     Args:
@@ -120,15 +127,21 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8):
     """
     occ = glb_type == VOX_OCCUPIED
     X, Y, Z = occ.shape
+    if pallas is None:
+        pallas = _use_pallas()
+    if pallas:
+        from .pallas.envelope import envelope_pallas
+
+        env = lambda f, payloads: envelope_pallas(f, payloads)
+    else:
+        env = lambda f, payloads: lower_envelope(f, payloads=payloads, chunk=chunk)
 
     # ---- phase 1: along y ------------------------------------------------
     g1, coc_y1, valid1 = _phase1_along_y(occ, max_width)
     g1sq = jnp.where(valid1, g1 * g1, _BIG)
 
     # ---- phase 2: lower envelope along x --------------------------------
-    d2, coc_x2, coc_y2, valid2i = lower_envelope(
-        g1sq, payloads=(coc_y1, valid1.astype(jnp.int32)), chunk=chunk
-    )
+    d2, coc_x2, coc_y2, valid2i = env(g1sq, (coc_y1, valid1.astype(jnp.int32)))
     valid2 = valid2i > 0
     d2 = jnp.where(valid2, d2, _BIG)
 
@@ -138,11 +151,10 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8):
     else:
         # ---- phase 3: lower envelope along z ----------------------------
         d2_z = jnp.moveaxis(d2, 2, 0)  # [Z,X,Y]
-        d3, coc_z3, coc_x3, coc_y3, valid3i = lower_envelope(
+        d3, coc_z3, coc_x3, coc_y3, valid3i = env(
             d2_z,
-            payloads=(jnp.moveaxis(coc_x2, 2, 0), jnp.moveaxis(coc_y2, 2, 0),
-                      jnp.moveaxis(valid2.astype(jnp.int32), 2, 0)),
-            chunk=chunk,
+            (jnp.moveaxis(coc_x2, 2, 0), jnp.moveaxis(coc_y2, 2, 0),
+             jnp.moveaxis(valid2.astype(jnp.int32), 2, 0)),
         )
         dist_sq = jnp.moveaxis(d3, 0, 2)
         coc_z = jnp.moveaxis(coc_z3, 0, 2)

@@ -84,6 +84,20 @@ class FrameOutput:
             "origin": self.origin,
         }
 
+    def local_occupied_cloud(self, voxel_width: float):
+        """World positions of occupied window voxels
+        (publish_local_ptcld_2_rviz equivalent, volumetric_mapper.h:181-243)."""
+        from ..utils.constants import VOX_OCCUPIED
+
+        idx = np.argwhere(self.glb_type == VOX_OCCUPIED)
+        return (idx + self.pvt) * voxel_width
+
+    def local_edt_cloud(self, voxel_width: float):
+        """(world positions, distances in metres) of seen window voxels."""
+        sel = self.seen
+        idx = np.argwhere(sel)
+        return (idx + self.pvt) * voxel_width, self.edt[sel] * voxel_width
+
 
 class _ExtObs:
     """Virtual fence / external-observer AABB set (Ext_Obs_Wrapper,
@@ -143,6 +157,26 @@ class VolumetricMapper:
             from ..runtime.gt_checker import GroundTruthChecker
 
             self.gt_checker = GroundTruthChecker()
+
+    def warmup(self, robot_pos=(0.0, 0.0, 0.0)):
+        """Compile the merge program before the first real frame so frame 0
+        doesn't pay compilation cost (reference warmupCuda,
+        src/kernel/edt/warmup.cu:7-17, volumetric_mapper.cpp:126).
+
+        Runs on a throwaway state (merge_frame donates its state buffers, so
+        the live map must not be fed a discardable frame)."""
+        cfg = self.cfg
+        pvt, origin_blk, off = self._frame_geometry(np.asarray(robot_pos, np.float32))
+        throwaway = MapState.create(cfg)
+        fence = self._fence_args(pvt)
+        _, out = merge_frame(
+            throwaway, jnp.zeros(cfg.local_size, jnp.int8),
+            jnp.zeros(cfg.local_size, jnp.int32),
+            jnp.asarray(pvt), jnp.asarray(origin_blk), jnp.asarray(off),
+            *fence, cfg=cfg, input_pointcloud=False,
+        )
+        np.asarray(out["relax_iters"])  # force completion
+        return self
 
     # ------------------------------------------------------------------
     def _frame_geometry(self, robot_pos):

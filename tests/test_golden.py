@@ -1,0 +1,58 @@
+"""Golden-replay regression test: a fixed synthetic scenario's outputs are
+pinned; any semantic drift in the pipeline fails here.
+
+The fixture is (re)generated with:
+    python tests/test_golden.py --regen
+(on the CPU backend; integer outputs are deterministic across backends).
+"""
+import os
+import sys
+
+import numpy as np
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden_scan2d.npz")
+
+
+def _scenario():
+    from gie_mapping_tpu.models.mapper import VolumetricMapper
+    from gie_mapping_tpu.runtime.datasets import BoxWorld, circular_trajectory
+    from gie_mapping_tpu.utils.config import scan2d_config
+
+    cfg = scan2d_config(local_size_m=(6.0, 6.0, 1.2), voxel_width=0.2,
+                        cutoff_dist=3.0, max_blocks=4096)
+    world = BoxWorld.corridor(seed=42, n_pillars=5, extent=4.0)
+    mapper = VolumetricMapper(cfg)
+    outs = []
+    for proj in circular_trajectory(5, radius=1.2, height=0.7):
+        r, tmin, tinc = world.scan_2d(proj, n_beams=240)
+        outs.append(mapper.process_scan2d(proj, r, tmin, tinc))
+    return outs
+
+
+def test_golden_scan2d():
+    assert os.path.exists(GOLDEN), "regenerate with python tests/test_golden.py --regen"
+    ref = np.load(GOLDEN)
+    outs = _scenario()
+    for i in (0, len(outs) - 1):
+        np.testing.assert_array_equal(outs[i].glb_type, ref[f"{i}/glb_type"],
+                                      err_msg=f"frame {i} glb_type drifted")
+        np.testing.assert_array_equal(outs[i].dist_sq, ref[f"{i}/dist_sq"],
+                                      err_msg=f"frame {i} dist_sq drifted")
+        np.testing.assert_array_equal(outs[i].coc, ref[f"{i}/coc"],
+                                      err_msg=f"frame {i} coc drifted")
+
+
+if __name__ == "__main__":
+    if "--regen" in sys.argv:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        outs = _scenario()
+        data = {}
+        for i in (0, len(outs) - 1):
+            data[f"{i}/glb_type"] = outs[i].glb_type
+            data[f"{i}/dist_sq"] = outs[i].dist_sq
+            data[f"{i}/coc"] = outs[i].coc
+        np.savez_compressed(GOLDEN, **data)
+        print("golden written:", GOLDEN)

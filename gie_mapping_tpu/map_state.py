@@ -402,6 +402,11 @@ def canvas_geometry(cfg: MapConfig, pvt: np.ndarray):
     window_offset int32[3]) with window_offset = pvt - canvas_origin_vox.
     """
     pvt = np.asarray(pvt, np.int64)
+    if np.abs(pvt).max() > 30000:
+        raise ValueError(
+            "pivot beyond +-30000 voxels: int16 closest-obstacle coordinates "
+            "would overflow (world limit ~ +-3 km at 0.1 m voxels)"
+        )
     halo = cfg.halo_grids
     cb = np.asarray(cfg.canvas_blocks, np.int64)
     want = pvt - halo

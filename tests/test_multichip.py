@@ -60,3 +60,13 @@ def test_sharded_matches_single_device():
         np.testing.assert_array_equal(a["glb_type"], b["glb_type"])
         np.testing.assert_array_equal(a["dist_sq"], b["dist_sq"])
         np.testing.assert_allclose(a["edt"], b["edt"], rtol=1e-6)
+
+
+def test_sharded_relax_engine_matches():
+    """The iterative relaxation engine (while_loop + halo shifts) must also
+    partition correctly: convergence is a psum'd any-reduce."""
+    cfg = _cfg().replace(merge_mode="relax")
+    ref = _run(cfg, None, n_frames=2)
+    shd = _run(cfg, make_mesh(8), n_frames=2)
+    for a, b in zip(ref, shd):
+        np.testing.assert_array_equal(a["dist_sq"], b["dist_sq"])

@@ -377,14 +377,18 @@ class VolumetricMapper:
         vmask[:n] = True if valid is None else np.asarray(valid, bool)[:n]
 
         world = proj.l2g(jnp.asarray(buf))
-        kernel = (rc.pointcloud_raycast if cfg.raycast_mode == "dda"
-                  else rc.pointcloud_project)
+        kw = {}
+        if cfg.raycast_mode == "dda":
+            kernel = rc.pointcloud_raycast
+        else:
+            kernel = rc.pointcloud_project
+            kw["n_theta"], kw["n_phi"] = rc.panorama_bins(cfg.local_size)
         inst, counts = kernel(
             world, jnp.asarray(vmask), proj.trans, jnp.asarray(pvt),
             local_size=cfg.local_size, voxel_width=cfg.voxel_width,
             ogm_min_h=cfg.ogm_min_h, ogm_max_h=cfg.ogm_max_h,
             for_motion_planner=cfg.for_motion_planner,
-            robot_r2_grids=cfg.robot_r2_grids,
+            robot_r2_grids=cfg.robot_r2_grids, **kw,
         )
         return self._run(inst, counts, pvt, origin_blk, off,
                          input_pointcloud=True, t_sensor0=t0)

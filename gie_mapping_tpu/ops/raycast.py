@@ -35,6 +35,15 @@ def max_dda_steps(local_size) -> int:
     return int(math.ceil(0.707 * local_size[0] * math.sqrt(3.0))) + 4
 
 
+def panorama_bins(local_size) -> tuple[int, int]:
+    """Smallest power-of-two (theta, phi) binning that still resolves one
+    voxel at the maximum ray length (0.707*X voxels): finer bins only grow
+    the gather source without adding information."""
+    need = 2 * math.pi * 0.707 * local_size[0]
+    n_theta = 1 << max(7, math.ceil(math.log2(need)))
+    return min(n_theta, 2048), min(n_theta // 2, 1024)
+
+
 @partial(
     jax.jit,
     static_argnames=("local_size", "voxel_width", "ogm_min_h", "ogm_max_h",
@@ -42,7 +51,7 @@ def max_dda_steps(local_size) -> int:
 )
 def pointcloud_project(points, valid, origin, pvt, *, local_size, voxel_width,
                        ogm_min_h, ogm_max_h, for_motion_planner: bool,
-                       robot_r2_grids: int, n_theta: int = 1024, n_phi: int = 512):
+                       robot_r2_grids: int, n_theta: int = 512, n_phi: int = 256):
     """Dense projective pointcloud OGM update (TPU-native default).
 
     Same contract as `pointcloud_raycast`, but free space is carved by a

@@ -24,7 +24,7 @@ from ..ops import scan_sensors as ss
 from ..utils import geometry as geo
 from ..utils.config import MapConfig, DEFAULT_FENCE_LL, DEFAULT_FENCE_UR
 from ..utils.constants import VB_WIDTH, VOX_UNKNOWN
-from .pipeline import merge_frame
+from .pipeline import merge_frame, scroll_step
 
 
 class FrameOutput:
@@ -144,6 +144,7 @@ class VolumetricMapper:
         if device is not None:
             self.state = jax.device_put(self.state, device)
         self.ext_obs = _ExtObs(cfg)
+        self._origin = None  # host mirror of the canvas origin (scroll gate)
         self.map_ct = 0
         self.mirror = None  # lazily-constructed runtime.host_mirror.HostMirror
         self.last_output: Optional[FrameOutput] = None
@@ -169,11 +170,12 @@ class VolumetricMapper:
         pvt, origin_blk, off = self._frame_geometry(np.asarray(robot_pos, np.float32))
         throwaway = MapState.create(cfg)
         fence = self._fence_args(pvt)
+        throwaway = scroll_step(throwaway, jnp.asarray(origin_blk), cfg=cfg)
         _, out = merge_frame(
             throwaway, jnp.zeros(cfg.local_size, jnp.int8),
             jnp.zeros(cfg.local_size, jnp.int32),
             jnp.asarray(pvt), jnp.asarray(origin_blk), jnp.asarray(off),
-            *fence, cfg=cfg, input_pointcloud=False,
+            *fence, cfg=cfg, input_pointcloud=False, do_scroll=False,
         )
         np.asarray(out["relax_iters"])  # force completion
         return self
@@ -206,10 +208,15 @@ class VolumetricMapper:
         ray_count = jnp.asarray(ray_count)
         t_ogm = time.perf_counter()
 
+        # host-gated scroll: only when the canvas origin crosses a block
+        if self._origin is None or not np.array_equal(self._origin, origin_blk):
+            self.state = scroll_step(self.state, jnp.asarray(origin_blk), cfg=cfg)
+            self._origin = np.asarray(origin_blk).copy()
+
         self.state, out = merge_frame(
             self.state, inst_type, ray_count,
             jnp.asarray(pvt), jnp.asarray(origin_blk), jnp.asarray(off),
-            *fence, cfg=cfg, input_pointcloud=input_pointcloud,
+            *fence, cfg=cfg, input_pointcloud=input_pointcloud, do_scroll=False,
         )
         t_end = time.perf_counter()
 
@@ -284,6 +291,7 @@ class VolumetricMapper:
               if k.startswith("state/")}
         self.state = dc.replace(self.state, **kw)
         self.map_ct = int(raw["meta/map_ct"])
+        self._origin = None  # force a scroll-sync on the next frame
         return self
 
     def _stream(self, out, origin_blk):

@@ -68,10 +68,16 @@ def merge_frame_impl(
     cfg: MapConfig,
     input_pointcloud: bool,
     mesh=None,          # jax.sharding.Mesh: shard canvas-x / archive-blocks
+    do_scroll: bool = True,
 ):
     """Fuse one local observation into the global map and refresh the EDT.
 
     Returns (state', outputs dict).
+
+    `do_scroll=False` skips the in-program canvas scroll: the host calls the
+    separate jitted `scroll_step` only on block crossings (a traced
+    `lax.cond` identity branch still copies every state buffer, ~100 MB of
+    pure waste on the common no-move frame).
     """
     local_size = cfg.local_size
     canvas_blocks = cfg.canvas_blocks
@@ -79,7 +85,8 @@ def merge_frame_impl(
     bx, by, bz = canvas_blocks
 
     # ---- scroll the resident canvas to this frame's origin --------------
-    state = scroll_canvas(state, canvas_origin_blk, cfg)
+    if do_scroll:
+        state = scroll_canvas(state, canvas_origin_blk, cfg)
     canvas_origin_vox = canvas_origin_blk * VB_WIDTH
 
     if mesh is not None:
@@ -272,5 +279,15 @@ def merge_frame_impl(
     return state, outputs
 
 
-merge_frame = partial(jax.jit, static_argnames=("cfg", "input_pointcloud", "mesh"),
+merge_frame = partial(jax.jit,
+                      static_argnames=("cfg", "input_pointcloud", "mesh", "do_scroll"),
                       donate_argnums=(0,))(merge_frame_impl)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def scroll_step(state: MapState, new_origin_blk, *, cfg: MapConfig) -> MapState:
+    """Host-gated canvas scroll: called only when the canvas origin actually
+    moves (a block crossing), so the common frame pays nothing."""
+    from ..map_state import _do_scroll
+
+    return _do_scroll(state, new_origin_blk, cfg)

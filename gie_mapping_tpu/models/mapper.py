@@ -182,8 +182,18 @@ class VolumetricMapper:
 
     # ------------------------------------------------------------------
     def _frame_geometry(self, robot_pos):
+        """Window pivot + canvas origin with scroll hysteresis: the canvas is
+        slightly larger than window+halo, so the origin is kept while the
+        window (plus its halo) still fits — halving scroll frequency."""
         cfg = self.cfg
         pvt = geo.calculate_pivot(robot_pos, cfg.voxel_width, cfg.local_size)
+        if self._origin is not None:
+            off = pvt - self._origin * VB_WIDTH
+            lo_ok = (off >= cfg.halo_grids).all()
+            hi_ok = (off + np.asarray(cfg.local_size) + cfg.halo_grids
+                     <= np.asarray(cfg.canvas_size)).all()
+            if lo_ok and hi_ok:
+                return pvt, self._origin.copy(), off.astype(np.int32)
         origin_blk, origin_vox, off = canvas_geometry(cfg, pvt)
         return pvt, origin_blk, off
 

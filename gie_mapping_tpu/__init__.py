@@ -21,3 +21,10 @@ from .utils.config import (
 from .utils import constants
 
 __version__ = "0.1.0"
+
+
+def create_mapper(case: str = "cow_lady", **overrides):
+    """One-call engine construction for any benchmark case preset."""
+    from .models.mapper import VolumetricMapper
+
+    return VolumetricMapper(load_config(case, **overrides))

@@ -18,6 +18,7 @@ dense-mask equivalent of the reference's per-voxel VB-key output
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -111,6 +112,9 @@ def _positive_mod(i, n):
     return jnp.mod(jnp.mod(i, n) + n, n)
 
 
+@partial(jax.jit, static_argnames=(
+    "local_size", "voxel_width", "ogm_min_h", "ogm_max_h",
+    "for_motion_planner", "robot_r2_grids"))
 def hokuyo_update(proj, param: ScanParam, pvt, *, local_size, voxel_width,
                   ogm_min_h, ogm_max_h, for_motion_planner: bool, robot_r2_grids: int):
     """2-D LiDAR inverse model (hokuyo_fast.cu:9-91, hokuyo_helper.h:16-33)."""
@@ -138,6 +142,9 @@ def hokuyo_update(proj, param: ScanParam, pvt, *, local_size, voxel_width,
     return inst.astype(jnp.int8)
 
 
+@partial(jax.jit, static_argnames=(
+    "local_size", "voxel_width", "ogm_min_h", "ogm_max_h",
+    "for_motion_planner", "robot_r2_grids", "valid_nan"))
 def realsense_update(proj, param: CamParam, pvt, *, local_size, voxel_width,
                      ogm_min_h, ogm_max_h, for_motion_planner: bool,
                      robot_r2_grids: int, valid_nan: bool = False):
@@ -174,6 +181,9 @@ def realsense_update(proj, param: CamParam, pvt, *, local_size, voxel_width,
     return inst.astype(jnp.int8)
 
 
+@partial(jax.jit, static_argnames=(
+    "local_size", "voxel_width", "ogm_min_h", "ogm_max_h",
+    "for_motion_planner", "robot_r2_grids"))
 def vlp16_update(proj, param: MulScanParam, pvt, *, local_size, voxel_width,
                  ogm_min_h, ogm_max_h, for_motion_planner: bool, robot_r2_grids: int):
     """Multi-ring spherical-projection model (vlp16_fast.cu:8-97, vlp16_helper.h:11-65).

@@ -97,7 +97,10 @@ def main():
         cfg = cfg.replace(profile_loc_rms=True)
     mapper = VolumetricMapper(cfg, log_path=args.log)
 
-    src = replay_frames(args.replay) if args.replay else synthetic_frames(cfg, args.frames)
+    # materialise frames first: dataset simulation / replay decode is not
+    # engine time
+    src = list(replay_frames(args.replay) if args.replay
+               else synthetic_frames(cfg, args.frames))
     t0 = time.perf_counter()
     n = 0
     for proj, (kind, payload) in src:

@@ -377,6 +377,19 @@ class VolumetricMapper:
         return self._run(inst, zeros, pvt, origin_blk, off,
                          input_pointcloud=False, t_sensor0=t0)
 
+    def stage_pointcloud(self, points_sensor):
+        """Pre-upload a point cloud to the device (padded to capacity).
+        Returns (points_dev, valid_dev) accepted by process_pointcloud —
+        lets callers pipeline sensor DMA ahead of the frame loop."""
+        cfg = self.cfg
+        pts = np.asarray(points_sensor, np.float32)
+        n = min(len(pts), cfg.max_raycast_points)
+        buf = np.zeros((cfg.max_raycast_points, 3), np.float32)
+        buf[:n] = pts[:n]
+        vmask = np.zeros(cfg.max_raycast_points, bool)
+        vmask[:n] = True
+        return jnp.asarray(buf), jnp.asarray(vmask)
+
     def process_pointcloud(self, proj: geo.Projection, points_sensor, valid=None):
         """Point-cloud frame (PntcldMapMaker, src/pntcld_map_maker.cpp).
 
@@ -387,12 +400,18 @@ class VolumetricMapper:
         t0 = time.perf_counter()
         cfg = self.cfg
         pvt, origin_blk, off = self._frame_geometry(np.asarray(proj.trans))
-        pts = np.asarray(points_sensor, np.float32)
-        n = min(len(pts), cfg.max_raycast_points)
-        buf = np.zeros((cfg.max_raycast_points, 3), np.float32)
-        buf[:n] = pts[:n]
-        vmask = np.zeros(cfg.max_raycast_points, bool)
-        vmask[:n] = True if valid is None else np.asarray(valid, bool)[:n]
+        if (isinstance(points_sensor, jax.Array)
+                and points_sensor.shape == (cfg.max_raycast_points, 3)
+                and valid is not None):
+            # pre-staged device buffers (see stage_pointcloud): no host pass
+            buf, vmask = points_sensor, valid
+        else:
+            pts = np.asarray(points_sensor, np.float32)
+            n = min(len(pts), cfg.max_raycast_points)
+            buf = np.zeros((cfg.max_raycast_points, 3), np.float32)
+            buf[:n] = pts[:n]
+            vmask = np.zeros(cfg.max_raycast_points, bool)
+            vmask[:n] = True if valid is None else np.asarray(valid, bool)[:n]
 
         world = proj.l2g(jnp.asarray(buf))
         kw = {}

@@ -10,7 +10,22 @@ subtracted.
 
 Prints ONE JSON line; vs_baseline = 10ms-target / measured (>1 is better than
 the BASELINE.md north-star budget)."""
+
 from __future__ import annotations
+
+# persistent XLA compilation cache: tunnel compiles cost 30-90s each
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 
 import json
 import time
@@ -55,11 +70,16 @@ def main():
         out = mapper.process_pointcloud(proj, pb, vb)
     _ = out.relax_iters  # force one full sync
 
-    # measure the fixed sync round-trip latency of the link
+    # measure the fixed sync round-trip latency of the link (fresh scalar
+    # each probe — a cached array would read back instantly)
+    import jax
+    import jax.numpy as jnp
+
+    probe = jax.jit(lambda i: i + 1)
     lat = []
-    for _ in range(5):
+    for i in range(5):
         t0 = time.perf_counter()
-        _ = int(np.asarray(mapper.last_output.device("relax_iters")))
+        _ = int(probe(jnp.int32(i)))
         lat.append(time.perf_counter() - t0)
     link_latency = float(np.median(lat))
 

@@ -12,7 +12,22 @@ For a real multi-host pod slice: launch one process per host with
 JAX coordinator env vars set and run `python bench_scaling.py --distributed`;
 jax.distributed.initialize() forms the global mesh over ICI+DCN.
 """
+
 from __future__ import annotations
+
+# persistent XLA compilation cache: tunnel compiles cost 30-90s each
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 
 import argparse
 import json

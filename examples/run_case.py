@@ -11,7 +11,22 @@ Examples:
   python examples/run_case.py scan2D --frames 50 --profile
   python examples/run_case.py depthcam --replay /data/depth_frames.npz
 """
+
 from __future__ import annotations
+
+# persistent XLA compilation cache: tunnel compiles cost 30-90s each
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 
 import argparse
 import json

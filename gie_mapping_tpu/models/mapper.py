@@ -169,13 +169,14 @@ class VolumetricMapper:
         cfg = self.cfg
         pvt, origin_blk, off = self._frame_geometry(np.asarray(robot_pos, np.float32))
         throwaway = MapState.create(cfg)
-        fence = self._fence_args(pvt)
+        fence, fence_on = self._fence_args(pvt)
         throwaway = scroll_step(throwaway, jnp.asarray(origin_blk), cfg=cfg)
         _, out = merge_frame(
             throwaway, jnp.zeros(cfg.local_size, jnp.int8),
             jnp.zeros(cfg.local_size, jnp.int32),
             jnp.asarray(pvt), jnp.asarray(origin_blk), jnp.asarray(off),
             *fence, cfg=cfg, input_pointcloud=False, do_scroll=False,
+            use_fence=fence_on,
         )
         np.asarray(out["relax_iters"])  # force completion
         return self
@@ -207,13 +208,13 @@ class VolumetricMapper:
             jnp.asarray(self.ext_obs.ur),
             jnp.asarray(act),
             jnp.int32(self.ext_obs.n),
-        )
+        ), bool(act.any())
 
     # ------------------------------------------------------------------
     def _run(self, inst_type, ray_count, pvt, origin_blk, off, *, input_pointcloud,
              t_sensor0):
         cfg = self.cfg
-        fence = self._fence_args(pvt)
+        fence, fence_on = self._fence_args(pvt)
         inst_type = jnp.asarray(inst_type)
         ray_count = jnp.asarray(ray_count)
         t_ogm = time.perf_counter()
@@ -227,6 +228,7 @@ class VolumetricMapper:
             self.state, inst_type, ray_count,
             jnp.asarray(pvt), jnp.asarray(origin_blk), jnp.asarray(off),
             *fence, cfg=cfg, input_pointcloud=input_pointcloud, do_scroll=False,
+            use_fence=fence_on,
         )
         t_end = time.perf_counter()
 

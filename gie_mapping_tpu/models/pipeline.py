@@ -69,6 +69,7 @@ def merge_frame_impl(
     input_pointcloud: bool,
     mesh=None,          # jax.sharding.Mesh: shard canvas-x / archive-blocks
     do_scroll: bool = True,
+    use_fence: bool = True,  # static: skip the AABB pass when no box is active
 ):
     """Fuse one local observation into the global map and refresh the EDT.
 
@@ -124,7 +125,10 @@ def merge_frame_impl(
 
     old_occ_win = win(state.occ_val)
     old_type_win = win(state.vox_type)
-    occ_flag = _fence_mask(glb_pos, fence_ll, fence_ur, fence_active, fence_n)
+    if use_fence:
+        occ_flag = _fence_mask(glb_pos, fence_ll, fence_ur, fence_active, fence_n)
+    else:
+        occ_flag = jnp.zeros(local_size, jnp.bool_)
 
     if input_pointcloud:
         # hit-count probability fusion (unify_helper.cuh:89-97)
@@ -280,7 +284,8 @@ def merge_frame_impl(
 
 
 merge_frame = partial(jax.jit,
-                      static_argnames=("cfg", "input_pointcloud", "mesh", "do_scroll"),
+                      static_argnames=("cfg", "input_pointcloud", "mesh",
+                                       "do_scroll", "use_fence"),
                       donate_argnums=(0,))(merge_frame_impl)
 
 

@@ -210,6 +210,51 @@ def scatter_canvas(gmap: GlobalMap, directory, canvas_blocks, canvas) -> GlobalM
 # ===========================================================================
 
 COC_INVALID16 = np.int16(32767)
+VB_SIZE_ = VB_WIDTH ** 3
+
+
+# ---- packed voxel payload --------------------------------------------------
+# One voxel's full payload packs into 3 uint32 words so archive traffic and
+# canvas rolls touch ONE array instead of four (XLA row scatters cost per
+# index per operand here):
+#   w0 = dist_sq (20 bits; values <= EMPTY_VALUE=999999 < 2^20)
+#        | occ_val << 20 (8 bits) | vox_type << 28 (4 bits; 0..3)
+#   w1 = coc_x (u16) | coc_y << 16
+#   w2 = coc_z (u16)
+
+def pack_voxels(occ_val, vox_type, dist_sq, coc):
+    """Dense [..., ] fields -> packed uint32 [..., 3]."""
+    w0 = (dist_sq.astype(jnp.uint32)
+          | (occ_val.astype(jnp.uint32) << 20)
+          | ((vox_type.astype(jnp.uint32) & 0xF) << 28))
+    cu = coc.astype(jnp.int32).astype(jnp.uint32) & 0xFFFF
+    w1 = cu[..., 0] | (cu[..., 1] << 16)
+    w2 = cu[..., 2]
+    return jnp.stack([w0, w1, w2], axis=-1)
+
+
+def unpack_voxels(packed):
+    """Packed uint32 [..., 3] -> (occ_val u8, vox_type i8, dist_sq i32, coc i16[...,3])."""
+    w0 = packed[..., 0]
+    dist = (w0 & 0xFFFFF).astype(jnp.int32)
+    occ = ((w0 >> 20) & 0xFF).astype(jnp.uint8)
+    typ = ((w0 >> 28) & 0xF).astype(jnp.int8)
+
+    def s16(v):
+        return ((v.astype(jnp.int32) ^ 0x8000) - 0x8000).astype(jnp.int16)
+
+    cx = s16(packed[..., 1] & 0xFFFF)
+    cy = s16((packed[..., 1] >> 16) & 0xFFFF)
+    cz = s16(packed[..., 2] & 0xFFFF)
+    return occ, typ, dist, jnp.stack([cx, cy, cz], axis=-1)
+
+
+_PACKED_DEFAULT = np.asarray(
+    [np.uint32(EMPTY_VALUE),  # dist=EMPTY, occ=0, type=UNKNOWN
+     np.uint32((np.uint16(COC_INVALID16)) | (np.uint32(np.uint16(COC_INVALID16)) << 16)),
+     np.uint32(np.uint16(COC_INVALID16))],
+    dtype=np.uint32,
+)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -227,10 +272,7 @@ class MapState:
     # archive of scrolled-out blocks
     arch_keys: jnp.ndarray   # int32 [B,3]
     n_arch: jnp.ndarray      # int32
-    a_occ: jnp.ndarray       # uint8 [B,8,8,8]
-    a_type: jnp.ndarray      # int8  [B,8,8,8]
-    a_dist: jnp.ndarray      # int32 [B,8,8,8]
-    a_coc: jnp.ndarray       # int16 [B,8,8,8,3]
+    a_packed: jnp.ndarray    # uint32 [B,512,3] packed voxel payload (see pack_voxels)
     arch_dropped: jnp.ndarray  # int32
 
     def tree_flatten(self):
@@ -256,10 +298,7 @@ class MapState:
             present=jnp.zeros(cb, jnp.bool_),
             arch_keys=jnp.full((B, 3), EMPTY_KEY, jnp.int32),
             n_arch=jnp.zeros((), jnp.int32),
-            a_occ=jnp.zeros((B, W, W, W), jnp.uint8),
-            a_type=jnp.full((B, W, W, W), VOX_UNKNOWN, jnp.int8),
-            a_dist=jnp.full((B, W, W, W), EMPTY_VALUE, jnp.int32),
-            a_coc=jnp.full((B, W, W, W, 3), COC_INVALID16, jnp.int16),
+            a_packed=jnp.broadcast_to(_PACKED_DEFAULT, (B, VB_SIZE_, 3)).copy(),
             arch_dropped=jnp.zeros((), jnp.int32),
         )
 
@@ -333,14 +372,13 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig) -> MapState:
     granted = jnp.minimum(jnp.sum(need_new.astype(jnp.int32)), B - state.n_arch)
     dropped = jnp.sum(need_new.astype(jnp.int32)) - granted
 
-    def put(pool, dense):
-        blocks = _canvas_as_blocks(dense, cb)
-        return pool.at[slot].set(blocks.reshape((-1,) + blocks.shape[3:]), mode="drop")
+    # pack the whole canvas payload once: all archive traffic and the roll
+    # then touch ONE array (XLA row scatters cost per index per operand)
+    packed = pack_voxels(state.occ_val, state.vox_type, state.dist_sq, state.coc)
 
-    a_occ = put(state.a_occ, state.occ_val)
-    a_type = put(state.a_type, state.vox_type)
-    a_dist = put(state.a_dist, state.dist_sq)
-    a_coc = put(state.a_coc, state.coc)
+    blocks = _canvas_as_blocks(packed, cb)  # [bx,by,bz,8,8,8,3]
+    rows = blocks.reshape(-1, VB_SIZE_, 3)
+    a_packed = state.a_packed.at[slot].set(rows, mode="drop")
     n_arch = state.n_arch + granted
 
     # ---- 2. dense shift of the canvas (roll + exposed-region fill) ------
@@ -359,30 +397,21 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig) -> MapState:
         mask = exposed[(...,) + (None,) * (arr.ndim - 3)]
         return jnp.where(mask, jnp.asarray(fill, arr.dtype), out)
 
-    occ_val = shift_nd(state.occ_val, 0, sv, cs)
-    vox_type = shift_nd(state.vox_type, VOX_UNKNOWN, sv, cs)
-    dist_sq = shift_nd(state.dist_sq, EMPTY_VALUE, sv, cs)
-    coc = shift_nd(state.coc, COC_INVALID16, sv, cs)
+    packed = shift_nd(packed, jnp.asarray(_PACKED_DEFAULT), sv, cs)
     present = shift_nd(state.present[..., None], False, shift_blk, cb)[..., 0]
 
-    # ---- 3. load entering blocks from the archive -----------------------
+    # ---- 3. load entering blocks from the archive (one gather) ----------
     new_dir = _arch_directory(new_keys, n_arch, new_origin_blk, cb)
     entering = ~present & (new_dir >= 0)
     gslot = jnp.where(entering, new_dir, 0).reshape(-1)
 
-    def load(dense, pool, fill):
-        rows = pool[gslot]  # [nb, 8,8,8(,3)]
-        rows = rows.reshape(cb + rows.shape[1:])
-        mask = entering[(...,) + (None,) * (rows.ndim - 3)]
-        blocks = _canvas_as_blocks(dense, cb)
-        blocks = jnp.where(mask, rows, blocks)
-        return _blocks_to_dense(blocks, cb)
-
-    occ_val = load(occ_val, a_occ, 0)
-    vox_type = load(vox_type, a_type, VOX_UNKNOWN)
-    dist_sq = load(dist_sq, a_dist, EMPTY_VALUE)
-    coc = load(coc, a_coc, COC_INVALID16)
+    rows_in = a_packed[gslot].reshape(cb + (VB_WIDTH, VB_WIDTH, VB_WIDTH, 3))
+    pblocks = _canvas_as_blocks(packed, cb)
+    pblocks = jnp.where(entering[..., None, None, None, None], rows_in, pblocks)
+    packed = _blocks_to_dense(pblocks, cb)
     present = present | entering
+
+    occ_val, vox_type, dist_sq, coc = unpack_voxels(packed)
 
     return dataclasses.replace(
         state,
@@ -390,7 +419,7 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig) -> MapState:
         occ_val=occ_val, vox_type=vox_type, dist_sq=dist_sq, coc=coc,
         present=present,
         arch_keys=new_keys, n_arch=n_arch,
-        a_occ=a_occ, a_type=a_type, a_dist=a_dist, a_coc=a_coc,
+        a_packed=a_packed,
         arch_dropped=state.arch_dropped + dropped,
     )
 

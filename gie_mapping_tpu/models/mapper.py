@@ -288,8 +288,8 @@ class VolumetricMapper:
 
         state_np = {f"state/{k}": np.asarray(getattr(self.state, k))
                     for k in ("origin_blk", "occ_val", "vox_type", "dist_sq",
-                              "coc", "present", "arch_keys", "n_arch", "a_occ",
-                              "a_type", "a_dist", "a_coc", "arch_dropped")}
+                              "coc", "present", "arch_keys", "n_arch",
+                              "a_packed", "arch_dropped")}
         state_np["meta/map_ct"] = np.asarray(self.map_ct)
         np.savez_compressed(path, **state_np)
 

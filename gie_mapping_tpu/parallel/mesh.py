@@ -66,10 +66,7 @@ def shard_state(state, mesh: Mesh):
         present=jax.device_put(state.present, rs),  # tiny block-flag grid
         arch_keys=jax.device_put(state.arch_keys, ps),
         n_arch=jax.device_put(state.n_arch, rs),
-        a_occ=jax.device_put(state.a_occ, ps),
-        a_type=jax.device_put(state.a_type, ps),
-        a_dist=jax.device_put(state.a_dist, ps),
-        a_coc=jax.device_put(state.a_coc, ps),
+        a_packed=jax.device_put(state.a_packed, ps),
         arch_dropped=jax.device_put(state.arch_dropped, rs),
     )
 

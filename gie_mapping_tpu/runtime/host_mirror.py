@@ -46,14 +46,17 @@ class HostMirror:
 
     def ingest_archive(self, state: MapState):
         """Bulk-import every archived block (checkpoint/shutdown path)."""
+        from ..map_state import unpack_voxels
+
         n = int(state.n_arch)
         if n == 0:
             return 0
         keys = np.asarray(state.arch_keys[:n])
-        occ = np.asarray(state.a_occ[:n])
-        typ = np.asarray(state.a_type[:n])
-        dist = np.asarray(state.a_dist[:n])
-        coc = np.asarray(state.a_coc[:n])
+        occ, typ, dist, coc = (np.asarray(a) for a in unpack_voxels(state.a_packed[:n]))
+        W = 8
+        shp = (n, W, W, W)
+        occ, typ, dist = occ.reshape(shp), typ.reshape(shp), dist.reshape(shp)
+        coc = coc.reshape(shp + (3,))
         for i, key in enumerate(map(tuple, keys)):
             self.blocks[key] = {
                 "occ_val": occ[i], "vox_type": typ[i],

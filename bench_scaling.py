@@ -95,6 +95,15 @@ def main():
     if args.distributed:
         jax.distributed.initialize()
 
+    if args.virtual:
+        # functional N-way run on virtual CPU devices: exercises the sharded
+        # program + collectives; NOT a hardware scaling number
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", args.virtual)
+        except Exception:
+            pass
+
     n_avail = len(jax.devices())
     points = {}
     t1 = run_point(1, args.frames, {})

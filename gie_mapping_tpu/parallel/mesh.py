@@ -50,24 +50,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_state(state, mesh: Mesh):
     """Place a MapState with the canvas sharded along x and the archive
-    sharded along the block axis."""
+    sharded along the block axis.  Arrays whose leading dimension does not
+    divide the mesh fall back to replication (e.g. odd `max_blocks`)."""
     import dataclasses
 
+    n = mesh.size
     cs = canvas_sharding(mesh)
     ps = pool_sharding(mesh)
     rs = replicated(mesh)
+
+    def put(arr, sh):
+        if sh is not rs and arr.shape[0] % n != 0:
+            sh = rs
+        return jax.device_put(arr, sh)
+
     return dataclasses.replace(
         state,
-        origin_blk=jax.device_put(state.origin_blk, rs),
-        occ_val=jax.device_put(state.occ_val, cs),
-        vox_type=jax.device_put(state.vox_type, cs),
-        dist_sq=jax.device_put(state.dist_sq, cs),
-        coc=jax.device_put(state.coc, cs),
-        present=jax.device_put(state.present, rs),  # tiny block-flag grid
-        arch_keys=jax.device_put(state.arch_keys, ps),
-        n_arch=jax.device_put(state.n_arch, rs),
-        a_packed=jax.device_put(state.a_packed, ps),
-        arch_dropped=jax.device_put(state.arch_dropped, rs),
+        origin_blk=put(state.origin_blk, rs),
+        occ_val=put(state.occ_val, cs),
+        vox_type=put(state.vox_type, cs),
+        dist_sq=put(state.dist_sq, cs),
+        coc=put(state.coc, cs),
+        present=put(state.present, rs),  # tiny block-flag grid
+        arch_keys=put(state.arch_keys, ps),
+        n_arch=put(state.n_arch, rs),
+        a_packed=put(state.a_packed, ps),
+        arch_dropped=put(state.arch_dropped, rs),
     )
 
 

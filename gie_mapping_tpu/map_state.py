@@ -438,13 +438,17 @@ def canvas_geometry(cfg: MapConfig, pvt: np.ndarray):
         )
     halo = cfg.halo_grids
     cb = np.asarray(cfg.canvas_blocks, np.int64)
-    want = pvt - halo
-    origin_blk = np.floor_divide(want, VB_WIDTH)
-    # centre slack: canvas is 1-2 blocks larger than strictly needed
+    cs = cb * VB_WIDTH
+    local = np.asarray(cfg.local_size, np.int64)
+    # centre the canvas on the window so the scroll hysteresis gets equal
+    # slack on both sides (placing it at pvt-halo leaves zero low-side slack
+    # and forces a scroll on the very next negative-direction step)
+    centered = np.floor((pvt + local // 2 - cs // 2) / VB_WIDTH + 0.5).astype(np.int64)
+    o_min = -(-(pvt + local + halo - cs) // VB_WIDTH)  # ceil div
+    o_max = np.floor_divide(pvt - halo, VB_WIDTH)
+    origin_blk = np.clip(centered, o_min, o_max)
     origin_vox = origin_blk * VB_WIDTH
     off = pvt - origin_vox
-    assert np.all(off >= 0)
-    assert np.all(off + np.asarray(cfg.local_size) <= cb * VB_WIDTH), (
-        "window must fit inside canvas"
-    )
+    assert np.all(off >= halo)
+    assert np.all(off + local + halo <= cs), "window+halo must fit inside canvas"
     return origin_blk.astype(np.int32), origin_vox.astype(np.int32), off.astype(np.int32)

@@ -212,11 +212,19 @@ class VolumetricMapper:
 
     # ------------------------------------------------------------------
     def _run(self, inst_type, ray_count, pvt, origin_blk, off, *, input_pointcloud,
-             t_sensor0):
+             t_sensor0, raycast_inputs=None):
         cfg = self.cfg
         fence, fence_on = self._fence_args(pvt)
-        inst_type = jnp.asarray(inst_type)
-        ray_count = jnp.asarray(ray_count)
+        if raycast_inputs is None:
+            inst_type = jnp.asarray(inst_type)
+            ray_count = jnp.asarray(ray_count)
+            extra = {}
+        else:
+            inst_type = jnp.zeros(cfg.local_size, jnp.int8)
+            ray_count = jnp.zeros(cfg.local_size, jnp.int32)
+            pts, vmask, origin3 = raycast_inputs
+            extra = {"points": pts, "pts_valid": vmask,
+                     "sensor_origin": origin3, "fuse_raycast": True}
         t_ogm = time.perf_counter()
 
         # host-gated scroll: only when the canvas origin crosses a block
@@ -228,7 +236,7 @@ class VolumetricMapper:
             self.state, inst_type, ray_count,
             jnp.asarray(pvt), jnp.asarray(origin_blk), jnp.asarray(off),
             *fence, cfg=cfg, input_pointcloud=input_pointcloud, do_scroll=False,
-            use_fence=fence_on,
+            use_fence=fence_on, **extra,
         )
         t_end = time.perf_counter()
 
@@ -422,18 +430,17 @@ class VolumetricMapper:
             vmask[:n] = True if valid is None else np.asarray(valid, bool)[:n]
 
         world = proj.l2g(jnp.asarray(buf))
-        kw = {}
         if cfg.raycast_mode == "dda":
-            kernel = rc.pointcloud_raycast
-        else:
-            kernel = rc.pointcloud_project
-            kw["n_theta"], kw["n_phi"] = rc.panorama_bins(cfg.local_size)
-        inst, counts = kernel(
-            world, jnp.asarray(vmask), proj.trans, jnp.asarray(pvt),
-            local_size=cfg.local_size, voxel_width=cfg.voxel_width,
-            ogm_min_h=cfg.ogm_min_h, ogm_max_h=cfg.ogm_max_h,
-            for_motion_planner=cfg.for_motion_planner,
-            robot_r2_grids=cfg.robot_r2_grids, **kw,
-        )
-        return self._run(inst, counts, pvt, origin_blk, off,
-                         input_pointcloud=True, t_sensor0=t0)
+            inst, counts = rc.pointcloud_raycast(
+                world, jnp.asarray(vmask), proj.trans, jnp.asarray(pvt),
+                local_size=cfg.local_size, voxel_width=cfg.voxel_width,
+                ogm_min_h=cfg.ogm_min_h, ogm_max_h=cfg.ogm_max_h,
+                for_motion_planner=cfg.for_motion_planner,
+                robot_r2_grids=cfg.robot_r2_grids,
+            )
+            return self._run(inst, counts, pvt, origin_blk, off,
+                             input_pointcloud=True, t_sensor0=t0)
+        # projective mode fuses the raycast into the frame program
+        return self._run(None, None, pvt, origin_blk, off,
+                         input_pointcloud=True, t_sensor0=t0,
+                         raycast_inputs=(world, jnp.asarray(vmask), proj.trans))

@@ -64,12 +64,16 @@ def merge_frame_impl(
     canvas_origin_blk,  # int32 [3] target canvas origin for this frame
     win_off,            # int32 [3] window offset inside the canvas (voxels)
     fence_ll, fence_ur, fence_active, fence_n,
+    points=None,        # [N,3] float32 world-frame endpoints (fused raycast)
+    pts_valid=None,     # [N] bool
+    sensor_origin=None, # (3,) float32
     *,
     cfg: MapConfig,
     input_pointcloud: bool,
     mesh=None,          # jax.sharding.Mesh: shard canvas-x / archive-blocks
     do_scroll: bool = True,
     use_fence: bool = True,  # static: skip the AABB pass when no box is active
+    fuse_raycast: bool = False,  # static: run the projective raycast in-program
 ):
     """Fuse one local observation into the global map and refresh the EDT.
 
@@ -106,6 +110,20 @@ def merge_frame_impl(
     old_type = state.vox_type
 
     win = lambda a: _crop(a, win_off, local_size)
+
+    if fuse_raycast:
+        # projective pointcloud model inlined into the frame program: one
+        # dispatch per frame, no intermediate HBM round trip
+        from ..ops.raycast import panorama_bins, pointcloud_project
+
+        nt, np_ = panorama_bins(local_size)
+        inst_type, ray_count = pointcloud_project(
+            points, pts_valid, sensor_origin, pvt,
+            local_size=local_size, voxel_width=cfg.voxel_width,
+            ogm_min_h=cfg.ogm_min_h, ogm_max_h=cfg.ogm_max_h,
+            for_motion_planner=cfg.for_motion_planner,
+            robot_r2_grids=cfg.robot_r2_grids, n_theta=nt, n_phi=np_,
+        )
 
     observed = (ray_count != 0) if input_pointcloud else (inst_type != VOX_UNKNOWN)
 
@@ -285,7 +303,7 @@ def merge_frame_impl(
 
 merge_frame = partial(jax.jit,
                       static_argnames=("cfg", "input_pointcloud", "mesh",
-                                       "do_scroll", "use_fence"),
+                                       "do_scroll", "use_fence", "fuse_raycast"),
                       donate_argnums=(0,))(merge_frame_impl)
 
 

@@ -430,17 +430,24 @@ class VolumetricMapper:
             vmask[:n] = True if valid is None else np.asarray(valid, bool)[:n]
 
         world = proj.l2g(jnp.asarray(buf))
+        if cfg.raycast_mode == "projective" and cfg.fuse_raycast:
+            # single-program frame (lower dispatch count; loses cross-frame
+            # raycast/merge overlap — net win only on dispatch-bound links)
+            return self._run(None, None, pvt, origin_blk, off,
+                             input_pointcloud=True, t_sensor0=t0,
+                             raycast_inputs=(world, jnp.asarray(vmask), proj.trans))
+        kw = {}
         if cfg.raycast_mode == "dda":
-            inst, counts = rc.pointcloud_raycast(
-                world, jnp.asarray(vmask), proj.trans, jnp.asarray(pvt),
-                local_size=cfg.local_size, voxel_width=cfg.voxel_width,
-                ogm_min_h=cfg.ogm_min_h, ogm_max_h=cfg.ogm_max_h,
-                for_motion_planner=cfg.for_motion_planner,
-                robot_r2_grids=cfg.robot_r2_grids,
-            )
-            return self._run(inst, counts, pvt, origin_blk, off,
-                             input_pointcloud=True, t_sensor0=t0)
-        # projective mode fuses the raycast into the frame program
-        return self._run(None, None, pvt, origin_blk, off,
-                         input_pointcloud=True, t_sensor0=t0,
-                         raycast_inputs=(world, jnp.asarray(vmask), proj.trans))
+            kernel = rc.pointcloud_raycast
+        else:
+            kernel = rc.pointcloud_project
+            kw["n_theta"], kw["n_phi"] = rc.panorama_bins(cfg.local_size)
+        inst, counts = kernel(
+            world, jnp.asarray(vmask), proj.trans, jnp.asarray(pvt),
+            local_size=cfg.local_size, voxel_width=cfg.voxel_width,
+            ogm_min_h=cfg.ogm_min_h, ogm_max_h=cfg.ogm_max_h,
+            for_motion_planner=cfg.for_motion_planner,
+            robot_r2_grids=cfg.robot_r2_grids, **kw,
+        )
+        return self._run(inst, counts, pvt, origin_blk, off,
+                         input_pointcloud=True, t_sensor0=t0)

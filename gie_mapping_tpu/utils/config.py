@@ -72,6 +72,9 @@ class MapConfig:
     # "projective" = dense spherical min-range carve (TPU-native default);
     # "dda" = exact per-ray Amanatides-Woo walk (reference-faithful)
     raycast_mode: str = "projective"
+    # fuse the projective raycast into the frame program (one dispatch; loses
+    # cross-frame raycast/merge pipelining — off by default)
+    fuse_raycast: bool = False
     # "canvas_edt" = one exact separable EDT over the dense canvas per frame
     # (TPU-native default: cheaper than iterating and exactly the Voronoi
     # limit the wavefronts converge to); "relax" = iterative fixed-point

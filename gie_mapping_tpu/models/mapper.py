@@ -203,12 +203,20 @@ class VolumetricMapper:
         win_ll = pvt.astype(np.float32) * cfg.voxel_width
         win_ur = win_ll + np.asarray(cfg.local_size_m, np.float32)
         act = self.ext_obs.activate(win_ll, win_ur)
-        return (
-            jnp.asarray(self.ext_obs.ll),
-            jnp.asarray(self.ext_obs.ur),
-            jnp.asarray(act),
-            jnp.int32(self.ext_obs.n),
-        ), bool(act.any())
+        # cache the device arrays: the box set changes rarely, and four small
+        # uploads per frame cost real latency on remote links
+        key = (self.ext_obs.ll.tobytes(), self.ext_obs.ur.tobytes(),
+               act.tobytes(), self.ext_obs.n)
+        cached = getattr(self, "_fence_cache", None)
+        if cached is None or cached[0] != key:
+            args = (
+                jnp.asarray(self.ext_obs.ll),
+                jnp.asarray(self.ext_obs.ur),
+                jnp.asarray(act),
+                jnp.int32(self.ext_obs.n),
+            )
+            self._fence_cache = cached = (key, args)
+        return cached[1], bool(act.any())
 
     # ------------------------------------------------------------------
     def _run(self, inst_type, ray_count, pvt, origin_blk, off, *, input_pointcloud,

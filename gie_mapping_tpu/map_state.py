@@ -1,20 +1,20 @@
-"""Map state pytrees: the global voxel-block pool and per-frame window state.
+"""Map state: the resident scrolling canvas + voxel-block archive.
 
 TPU-native replacement of the reference's GPU hash table + spinlock block
 allocator (/root/reference/include/vox_hash/vhashing.h:20-628, blockalloc.h,
 lockset.h) and of the GlbHashMap manager
 (src/kernel/par_wave/glb_hash_map.cu:9-113):
 
-* The open-addressed, bucket-locked hash map becomes a flat **block pool**
-  (struct-of-arrays over [max_blocks, 8,8,8]) plus a dense **directory**
-  rebuilt every frame by one scatter: directory[key - canvas_origin] = slot.
-  Lookup is a plain array index; there are no locks, chains, or retry loops,
-  and allocation is a deterministic mask-cumsum compaction (SURVEY.md §2 P5).
-* Closest-obstacle coordinates are stored as plain int32 *global* voxel
-  coordinates — the reference's 11/11/10-bit "wave range" packing
+* The authoritative working set is a dense **canvas** (window + cutoff halo)
+  that scrolls with the robot; the open-addressed, bucket-locked hash map
+  becomes a flat block **archive** for regions that scroll out, looked up via
+  a dense directory built with one scatter per scroll.  There are no locks,
+  chains, or retry loops; "allocation" is flipping dense `present` flags.
+* Closest-obstacle coordinates are plain int16 *global* voxel coordinates —
+  the reference's 11/11/10-bit "wave range" packing
   (local_batch.h:12-17,173-208) existed only so (dist, coc) fit a 64-bit
-  atomic CAS; dense sweeps have no atomics, so the packing (and its world-size
-  restriction) disappears.
+  atomic CAS; dense deterministic reductions have no atomics, so the packing
+  (and its per-frame re-anchoring) disappears.
 """
 from __future__ import annotations
 
@@ -31,105 +31,6 @@ from .utils.constants import EMPTY_VALUE, INVALID_COC, VB_WIDTH, VOX_UNKNOWN
 EMPTY_KEY = np.int32(EMPTY_VALUE)
 
 
-@jax.tree_util.register_pytree_node_class
-@dataclasses.dataclass
-class GlobalMap:
-    """Unbounded global map: block pool + allocation cursor.
-
-    Pool voxel fields mirror GlbVoxel (voxmap_utils.cuh:29-44) minus the
-    queue-bookkeeping members (wave_layer, update_ct, dist_id_pair) that only
-    existed to coordinate CUDA BFS queues and packed atomics.
-    """
-
-    block_keys: jnp.ndarray  # int32 [B,3], EMPTY_KEY where unallocated
-    n_blocks: jnp.ndarray    # int32 scalar, allocation cursor
-    occ_val: jnp.ndarray     # uint8  [B,8,8,8] low-pass occupancy
-    vox_type: jnp.ndarray    # int8   [B,8,8,8]
-    dist_sq: jnp.ndarray     # int32  [B,8,8,8] (EMPTY_VALUE = unseen)
-    coc: jnp.ndarray         # int32  [B,8,8,8,3] global coords (INVALID_COC = none)
-    alloc_dropped: jnp.ndarray  # int32 scalar, capacity-overflow counter
-
-    def tree_flatten(self):
-        return (
-            (self.block_keys, self.n_blocks, self.occ_val, self.vox_type,
-             self.dist_sq, self.coc, self.alloc_dropped),
-            None,
-        )
-
-    @classmethod
-    def tree_unflatten(cls, aux, children):
-        return cls(*children)
-
-    @staticmethod
-    def create(cfg: MapConfig) -> "GlobalMap":
-        B = cfg.max_blocks
-        W = VB_WIDTH
-        return GlobalMap(
-            block_keys=jnp.full((B, 3), EMPTY_KEY, jnp.int32),
-            n_blocks=jnp.zeros((), jnp.int32),
-            occ_val=jnp.zeros((B, W, W, W), jnp.uint8),
-            vox_type=jnp.full((B, W, W, W), VOX_UNKNOWN, jnp.int8),
-            dist_sq=jnp.full((B, W, W, W), EMPTY_VALUE, jnp.int32),
-            coc=jnp.full((B, W, W, W, 3), INVALID_COC, jnp.int32),
-            alloc_dropped=jnp.zeros((), jnp.int32),
-        )
-
-
-def build_directory(gmap: GlobalMap, canvas_origin_blk, canvas_blocks: Tuple[int, int, int]):
-    """Dense directory over the canvas region: [bx,by,bz] -> pool slot or -1.
-
-    One scatter over all pool slots replaces the reference's per-query hash
-    probe (vhashing.h:125-191).  Keys are unique, so no collision handling is
-    needed; out-of-canvas keys are dropped by scatter mode='drop'.
-    """
-    B = gmap.block_keys.shape[0]
-    rel = gmap.block_keys - canvas_origin_blk[None, :]
-    shape = jnp.asarray(canvas_blocks, jnp.int32)
-    active = jnp.arange(B, dtype=jnp.int32) < gmap.n_blocks
-    inside = jnp.all((rel >= 0) & (rel < shape), axis=-1) & active
-    # out-of-canvas keys are routed to an out-of-bounds POSITIVE index so
-    # mode='drop' discards them (negative indices would wrap, numpy-style)
-    idx = jnp.where(inside[:, None], rel, shape)
-    directory = jnp.full(canvas_blocks, -1, jnp.int32)
-    return directory.at[idx[:, 0], idx[:, 1], idx[:, 2]].set(
-        jnp.arange(B, dtype=jnp.int32), mode="drop"
-    )
-
-
-def allocate_blocks(gmap: GlobalMap, directory, needed_blk, canvas_origin_blk):
-    """Bulk block allocation: mask -> cumsum -> pool append.
-
-    Replaces the reference's sort/unique/copy_if + lock-retry pipeline
-    (glb_hash_map.cu:58-113, alloc_helper.cuh:13-73) with a deterministic
-    prefix-sum compaction.  Returns (gmap', directory').
-    """
-    to_alloc = needed_blk & (directory < 0)
-    flat = to_alloc.reshape(-1)
-    order = jnp.cumsum(flat.astype(jnp.int32)) - 1  # rank among new blocks
-    slot = gmap.n_blocks + order
-    capacity = gmap.block_keys.shape[0]
-    ok = flat & (slot < capacity)
-    slot_w = jnp.where(ok, slot, capacity)  # OOB -> dropped
-
-    bx, by, bz = directory.shape
-    gx = jax.lax.broadcasted_iota(jnp.int32, directory.shape, 0).reshape(-1)
-    gy = jax.lax.broadcasted_iota(jnp.int32, directory.shape, 1).reshape(-1)
-    gz = jax.lax.broadcasted_iota(jnp.int32, directory.shape, 2).reshape(-1)
-    abs_key = jnp.stack([gx, gy, gz], -1) + canvas_origin_blk[None, :]
-
-    new_keys = gmap.block_keys.at[slot_w].set(abs_key, mode="drop")
-    total = jnp.sum(flat.astype(jnp.int32))
-    granted = jnp.minimum(total, capacity - gmap.n_blocks)
-    gmap = dataclasses.replace(
-        gmap,
-        block_keys=new_keys,
-        n_blocks=gmap.n_blocks + granted,
-        alloc_dropped=gmap.alloc_dropped + (total - granted),
-    )
-    new_dir = jnp.where(ok.reshape(directory.shape), slot_w.reshape(directory.shape), directory)
-    return gmap, new_dir
-
-
 def _blocks_to_dense(arr, canvas_blocks):
     """[bx,by,bz,8,8,8,...] -> [bx*8, by*8, bz*8, ...]."""
     bx, by, bz = canvas_blocks
@@ -143,52 +44,6 @@ def _dense_to_blocks(arr, canvas_blocks):
     extra = arr.shape[3:]
     arr = arr.reshape((bx, VB_WIDTH, by, VB_WIDTH, bz, VB_WIDTH) + extra)
     return jnp.transpose(arr, (0, 2, 4, 1, 3, 5) + tuple(range(6, arr.ndim)))
-
-
-def gather_canvas(gmap: GlobalMap, directory, canvas_blocks):
-    """Materialise the dense canvas crop of the global map.
-
-    Absent blocks read as defaults (UNKNOWN / EMPTY / INVALID) — the dense
-    equivalent of a failed hash lookup (glb_hash_map alloc_id == -1 paths).
-
-    Returns dict of dense [Xc,Yc,Zc(,3)] arrays + 'present' block mask.
-    """
-    present = directory >= 0
-    slot = jnp.where(present, directory, 0)
-
-    def take(pool, default, extra=()):
-        g = pool[slot]  # [bx,by,bz,8,8,8,...]
-        mask = present[(...,) + (None,) * (3 + len(extra))]
-        g = jnp.where(mask, g, jnp.asarray(default, pool.dtype))
-        return _blocks_to_dense(g, canvas_blocks)
-
-    return {
-        "occ_val": take(gmap.occ_val, 0),
-        "vox_type": take(gmap.vox_type, VOX_UNKNOWN),
-        "dist_sq": take(gmap.dist_sq, EMPTY_VALUE),
-        "coc": take(gmap.coc, INVALID_COC, extra=(3,)),
-        "present": present,
-    }
-
-
-def scatter_canvas(gmap: GlobalMap, directory, canvas_blocks, canvas) -> GlobalMap:
-    """Write the (updated) canvas back into the pool for present blocks."""
-    present = directory >= 0
-    capacity = gmap.block_keys.shape[0]
-    slot = jnp.where(present, directory, capacity).reshape(-1)  # OOB -> dropped
-
-    def put(pool, dense):
-        blocks = _dense_to_blocks(dense, canvas_blocks)
-        blocks = blocks.reshape((-1,) + blocks.shape[3:])
-        return pool.at[slot].set(blocks, mode="drop")
-
-    return dataclasses.replace(
-        gmap,
-        occ_val=put(gmap.occ_val, canvas["occ_val"]),
-        vox_type=put(gmap.vox_type, canvas["vox_type"]),
-        dist_sq=put(gmap.dist_sq, canvas["dist_sq"]),
-        coc=put(gmap.coc, canvas["coc"]),
-    )
 
 
 # ===========================================================================

@@ -29,10 +29,29 @@ def _scenario():
     return outs
 
 
-def test_golden_scan2d():
-    assert os.path.exists(GOLDEN), "regenerate with python tests/test_golden.py --regen"
-    ref = np.load(GOLDEN)
-    outs = _scenario()
+GOLDEN_PC = os.path.join(os.path.dirname(__file__), "golden_pointcloud.npz")
+
+
+def _scenario_pc():
+    from gie_mapping_tpu.models.mapper import VolumetricMapper
+    from gie_mapping_tpu.runtime.datasets import BoxWorld, circular_trajectory
+    from gie_mapping_tpu.utils.config import cow_lady_config
+
+    cfg = cow_lady_config(local_size_m=(6.0, 6.0, 1.6), voxel_width=0.2,
+                          cutoff_dist=2.0, max_blocks=4096,
+                          max_raycast_points=4096,
+                          display_glb_edt=False, display_glb_ogm=False)
+    world = BoxWorld.corridor(seed=17, n_pillars=4, extent=3.5)
+    mapper = VolumetricMapper(cfg)
+    outs = []
+    for i, proj in enumerate(circular_trajectory(4, radius=1.0, height=0.8)):
+        pts = world.pointcloud(proj, n_rays=4096, max_range=4.0, seed=i)
+        outs.append(mapper.process_pointcloud(proj, pts))
+    return outs
+
+
+def _check(outs, golden_path):
+    ref = np.load(golden_path)
     for i in (0, len(outs) - 1):
         np.testing.assert_array_equal(outs[i].glb_type, ref[f"{i}/glb_type"],
                                       err_msg=f"frame {i} glb_type drifted")
@@ -42,17 +61,28 @@ def test_golden_scan2d():
                                       err_msg=f"frame {i} coc drifted")
 
 
+def test_golden_scan2d():
+    assert os.path.exists(GOLDEN), "regenerate with python tests/test_golden.py --regen"
+    _check(_scenario(), GOLDEN)
+
+
+def test_golden_pointcloud():
+    assert os.path.exists(GOLDEN_PC), "regenerate with python tests/test_golden.py --regen"
+    _check(_scenario_pc(), GOLDEN_PC)
+
+
 if __name__ == "__main__":
     if "--regen" in sys.argv:
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        outs = _scenario()
-        data = {}
-        for i in (0, len(outs) - 1):
-            data[f"{i}/glb_type"] = outs[i].glb_type
-            data[f"{i}/dist_sq"] = outs[i].dist_sq
-            data[f"{i}/coc"] = outs[i].coc
-        np.savez_compressed(GOLDEN, **data)
-        print("golden written:", GOLDEN)
+        for fn, path in ((_scenario, GOLDEN), (_scenario_pc, GOLDEN_PC)):
+            outs = fn()
+            data = {}
+            for i in (0, len(outs) - 1):
+                data[f"{i}/glb_type"] = outs[i].glb_type
+                data[f"{i}/dist_sq"] = outs[i].dist_sq
+                data[f"{i}/coc"] = outs[i].coc
+            np.savez_compressed(path, **data)
+            print("golden written:", path)

@@ -33,13 +33,14 @@ def main():
 
     import jax
 
-    if args.num_processes > 1 or args.devices_per_proc > 1:
-        jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_num_cpu_devices", args.devices_per_proc)
-        try:
-            jax.config.update("jax_cpu_collectives_implementation", "gloo")
-        except Exception:
-            pass
+    # this demo validates the multi-process CPU path; the single-process
+    # baseline must run on the same backend for bitwise comparison
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", args.devices_per_proc)
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
     if args.num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=args.coordinator,

@@ -19,14 +19,12 @@ lockset.h) and of the GlbHashMap manager
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .utils.config import MapConfig
-from .utils.constants import EMPTY_VALUE, INVALID_COC, VB_WIDTH, VOX_UNKNOWN
+from .utils.constants import EMPTY_VALUE, VB_WIDTH, VOX_UNKNOWN
 
 EMPTY_KEY = np.int32(EMPTY_VALUE)
 

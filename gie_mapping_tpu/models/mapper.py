@@ -10,7 +10,6 @@ arrays (runtime/datasets.py provides replayers).
 """
 from __future__ import annotations
 
-import dataclasses
 import time
 from typing import Optional
 

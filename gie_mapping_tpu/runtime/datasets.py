@@ -10,7 +10,7 @@ bags can be converted offline.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -7,7 +7,6 @@ degrades gracefully.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from pathlib import Path

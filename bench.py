@@ -34,7 +34,7 @@ import numpy as np
 
 N_WARMUP = 3
 N_FRAMES = 20
-N_PASSES = 2  # the shared link throttles unpredictably; report the best pass
+N_PASSES = 3  # the shared link throttles unpredictably; report the best pass
 N_RAYS = 16384
 TARGET_MS = 10.0
 

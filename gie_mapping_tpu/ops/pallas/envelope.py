@@ -16,6 +16,12 @@ beyond one read of f / payloads and one write of the outputs.
 Value+argmin ride a single packed int32 key (cost << idx_bits | i), which is
 unique per site, so payload selection (a second equality-select pass over the
 resident tile) is consistent with the winning site even on cost ties.
+
+Tile sparsity: a per-lane-tile activity mask rides in as a scalar-prefetch
+operand; lane tiles whose 128 lines contain no valid site anywhere skip both
+reduction loops entirely (`@pl.when`) and emit the invalid sentinel — large
+mostly-unobserved canvases (early exploration, depth-camera frustums) pay
+only for the observed tiles.
 """
 from __future__ import annotations
 
@@ -34,44 +40,54 @@ def _round_up(v, m):
     return (v + m - 1) // m * m
 
 
-def _envelope_kernel(n_sites, idx_bits, n_payloads, f_ref, *refs):
+def _envelope_kernel(n_sites, idx_bits, n_payloads, active_ref, f_ref, *refs):
     pay_refs = refs[:n_payloads]
     out_best = refs[n_payloads]
     out_site = refs[n_payloads + 1]
     out_pays = refs[n_payloads + 2:]
 
+    lx = pl.program_id(0)
     xc = pl.program_id(1)
-    x0 = xc * XC
-    xs = jax.lax.broadcasted_iota(jnp.int32, (XC, LANES), 0) + x0
-
     cap = jnp.int32((1 << (31 - idx_bits)) - 1)
-    init = jnp.full((XC, LANES), jnp.int32(0x7FFFFFFF), jnp.int32)
 
-    def body(i, acc):
-        fi = f_ref[i, :].reshape(1, LANES)
-        dx = xs - i
-        cand = jnp.minimum(dx * dx + jnp.minimum(fi, cap), cap)
-        packed = (cand << idx_bits) | i
-        return jnp.minimum(acc, packed)
-
-    acc = jax.lax.fori_loop(0, n_sites, body, init)
-    site = acc & ((1 << idx_bits) - 1)
-    out_best[:, :] = acc >> idx_bits
-    out_site[:, :] = site
-
-    if n_payloads:
-        inits = tuple(jnp.zeros((XC, LANES), jnp.int32) for _ in range(n_payloads))
-
-        def pay_body(i, accs):
-            hit = site == i
-            return tuple(
-                jnp.where(hit, pay_refs[k][i, :].reshape(1, LANES), accs[k])
-                for k in range(n_payloads)
-            )
-
-        sels = jax.lax.fori_loop(0, n_sites, pay_body, inits)
+    @pl.when(active_ref[lx] == 0)
+    def _():
+        # no valid site anywhere in this lane tile: everything is 'infinite'
+        out_best[:, :] = jnp.full((XC, LANES), cap, jnp.int32)
+        out_site[:, :] = jnp.zeros((XC, LANES), jnp.int32)
         for k in range(n_payloads):
-            out_pays[k][:, :] = sels[k]
+            out_pays[k][:, :] = jnp.zeros((XC, LANES), jnp.int32)
+
+    @pl.when(active_ref[lx] != 0)
+    def _():
+        xs = jax.lax.broadcasted_iota(jnp.int32, (XC, LANES), 0) + xc * XC
+        init = jnp.full((XC, LANES), jnp.int32(0x7FFFFFFF), jnp.int32)
+
+        def body(i, acc):
+            fi = f_ref[i, :].reshape(1, LANES)
+            dx = xs - i
+            cand = jnp.minimum(dx * dx + jnp.minimum(fi, cap), cap)
+            packed = (cand << idx_bits) | i
+            return jnp.minimum(acc, packed)
+
+        acc = jax.lax.fori_loop(0, n_sites, body, init)
+        site = acc & ((1 << idx_bits) - 1)
+        out_best[:, :] = acc >> idx_bits
+        out_site[:, :] = site
+
+        if n_payloads:
+            inits = tuple(jnp.zeros((XC, LANES), jnp.int32) for _ in range(n_payloads))
+
+            def pay_body(i, accs):
+                hit = site == i
+                return tuple(
+                    jnp.where(hit, pay_refs[k][i, :].reshape(1, LANES), accs[k])
+                    for k in range(n_payloads)
+                )
+
+            sels = jax.lax.fori_loop(0, n_sites, pay_body, inits)
+            for k in range(n_payloads):
+                out_pays[k][:, :] = sels[k]
 
 
 @functools.partial(jax.jit, static_argnames=("n_payloads",))
@@ -86,22 +102,31 @@ def _envelope_2d(fsq, payloads, n_payloads: int):
     fp = jnp.pad(fsq, ((0, 0), (0, Lp - L)), constant_values=cap)
     pp = [jnp.pad(p, ((0, 0), (0, Lp - L))) for p in payloads]
 
-    grid = (Lp // LANES, Np // XC)
-    site_spec = pl.BlockSpec((N, LANES), lambda lx, xc: (0, lx),
+    n_tiles = Lp // LANES
+    active = (
+        jnp.min(fp.reshape(N, n_tiles, LANES), axis=(0, 2)) < cap
+    ).astype(jnp.int32)
+
+    grid = (n_tiles, Np // XC)
+    site_spec = pl.BlockSpec((N, LANES), lambda lx, xc, *_: (0, lx),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((XC, LANES), lambda lx, xc: (xc, lx),
+    out_spec = pl.BlockSpec((XC, LANES), lambda lx, xc, *_: (xc, lx),
                             memory_space=pltpu.VMEM)
 
     n_out = 2 + n_payloads
-    outs = pl.pallas_call(
-        functools.partial(_envelope_kernel, N, idx_bits, n_payloads),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[site_spec] * (1 + n_payloads),
         out_specs=tuple([out_spec] * n_out),
+    )
+    outs = pl.pallas_call(
+        functools.partial(_envelope_kernel, N, idx_bits, n_payloads),
+        grid_spec=grid_spec,
         out_shape=tuple(
             jax.ShapeDtypeStruct((Np, Lp), jnp.int32) for _ in range(n_out)
         ),
-    )(fp, *pp)
+    )(active, fp, *pp)
     return tuple(o[:N, :L] for o in outs)
 
 

@@ -40,15 +40,22 @@ def _round_up(v, m):
     return (v + m - 1) // m * m
 
 
-def _envelope_kernel(n_sites, idx_bits, n_payloads, active_ref, f_ref, *refs):
-    pay_refs = refs[:n_payloads]
+def _envelope_kernel(n_sites, idx_bits, n_payloads, active_ref, f_hbm, *refs):
+    """Site operands stay in HBM; the active branch DMAs one [N,128] lane
+    tile into VMEM scratch (once per lane tile — xc==0 runs first), so
+    skipped tiles pay neither compute nor fetch."""
+    pay_hbm = refs[:n_payloads]
     out_best = refs[n_payloads]
     out_site = refs[n_payloads + 1]
-    out_pays = refs[n_payloads + 2:]
+    out_pays = refs[n_payloads + 2: n_payloads + 2 + n_payloads]
+    scratch = refs[2 * n_payloads + 2: 2 * n_payloads + 3 + n_payloads]
+    sem = refs[-1]
 
     lx = pl.program_id(0)
     xc = pl.program_id(1)
     cap = jnp.int32((1 << (31 - idx_bits)) - 1)
+    f_vmem = scratch[0]
+    pay_vmem = scratch[1:]
 
     @pl.when(active_ref[lx] == 0)
     def _():
@@ -60,11 +67,22 @@ def _envelope_kernel(n_sites, idx_bits, n_payloads, active_ref, f_ref, *refs):
 
     @pl.when(active_ref[lx] != 0)
     def _():
+        col = pl.ds(lx * LANES, LANES)
+
+        @pl.when(xc == 0)  # first x-chunk of this lane tile: fetch sites
+        def _():
+            for j, (src, dst) in enumerate(
+                [(f_hbm, f_vmem)] + list(zip(pay_hbm, pay_vmem))
+            ):
+                cp = pltpu.make_async_copy(src.at[:, col], dst, sem.at[j])
+                cp.start()
+                cp.wait()
+
         xs = jax.lax.broadcasted_iota(jnp.int32, (XC, LANES), 0) + xc * XC
         init = jnp.full((XC, LANES), jnp.int32(0x7FFFFFFF), jnp.int32)
 
         def body(i, acc):
-            fi = f_ref[i, :].reshape(1, LANES)
+            fi = f_vmem[i, :].reshape(1, LANES)
             dx = xs - i
             cand = jnp.minimum(dx * dx + jnp.minimum(fi, cap), cap)
             packed = (cand << idx_bits) | i
@@ -81,7 +99,7 @@ def _envelope_kernel(n_sites, idx_bits, n_payloads, active_ref, f_ref, *refs):
             def pay_body(i, accs):
                 hit = site == i
                 return tuple(
-                    jnp.where(hit, pay_refs[k][i, :].reshape(1, LANES), accs[k])
+                    jnp.where(hit, pay_vmem[k][i, :].reshape(1, LANES), accs[k])
                     for k in range(n_payloads)
                 )
 
@@ -108,8 +126,7 @@ def _envelope_2d(fsq, payloads, n_payloads: int):
     ).astype(jnp.int32)
 
     grid = (n_tiles, Np // XC)
-    site_spec = pl.BlockSpec((N, LANES), lambda lx, xc, *_: (0, lx),
-                             memory_space=pltpu.VMEM)
+    site_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM; manual DMA
     out_spec = pl.BlockSpec((XC, LANES), lambda lx, xc, *_: (xc, lx),
                             memory_space=pltpu.VMEM)
 
@@ -119,6 +136,8 @@ def _envelope_2d(fsq, payloads, n_payloads: int):
         grid=grid,
         in_specs=[site_spec] * (1 + n_payloads),
         out_specs=tuple([out_spec] * n_out),
+        scratch_shapes=[pltpu.VMEM((N, LANES), jnp.int32)] * (1 + n_payloads)
+        + [pltpu.SemaphoreType.DMA((1 + n_payloads,))],
     )
     outs = pl.pallas_call(
         functools.partial(_envelope_kernel, N, idx_bits, n_payloads),

@@ -108,8 +108,9 @@ def _use_pallas() -> bool:
         return False
 
 
-@partial(jax.jit, static_argnames=("max_width", "chunk", "pallas"))
-def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = None):
+@partial(jax.jit, static_argnames=("max_width", "chunk", "pallas", "zmajor"))
+def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = None,
+              zmajor: bool = True):
     """Batch local EDT over a dense grid.
 
     Args:
@@ -141,7 +142,18 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = No
     g1sq = jnp.where(valid1, g1 * g1, _BIG)
 
     # ---- phase 2: lower envelope along x --------------------------------
-    d2, coc_x2, coc_y2, valid2i = env(g1sq, (coc_y1, valid1.astype(jnp.int32)))
+    # With zmajor, lanes are ordered (z, y): phase-1 validity depends only on
+    # (x, z), so z-major lane tiles are spatially coherent and the Pallas
+    # kernel's site-free-tile skip engages on sparse maps (depthcam-class);
+    # costs 7 canvas transposes, so it is a measured default, not free.
+    if zmajor:
+        tzy = lambda a: jnp.transpose(a, (0, 2, 1))
+    else:
+        tzy = lambda a: a
+    d2t, coc_x2t, coc_y2t, valid2it = env(
+        tzy(g1sq), (tzy(coc_y1), tzy(valid1.astype(jnp.int32)))
+    )
+    d2, coc_x2, coc_y2, valid2i = tzy(d2t), tzy(coc_x2t), tzy(coc_y2t), tzy(valid2it)
     valid2 = valid2i > 0
     d2 = jnp.where(valid2, d2, _BIG)
 

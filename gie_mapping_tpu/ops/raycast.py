@@ -44,14 +44,23 @@ def panorama_bins(local_size) -> tuple[int, int]:
     return min(n_theta, 2048), min(n_theta // 2, 1024)
 
 
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 @partial(
     jax.jit,
     static_argnames=("local_size", "voxel_width", "ogm_min_h", "ogm_max_h",
-                     "for_motion_planner", "robot_r2_grids", "n_theta", "n_phi"),
+                     "for_motion_planner", "robot_r2_grids", "n_theta", "n_phi",
+                     "pallas"),
 )
 def pointcloud_project(points, valid, origin, pvt, *, local_size, voxel_width,
                        ogm_min_h, ogm_max_h, for_motion_planner: bool,
-                       robot_r2_grids: int, n_theta: int = 512, n_phi: int = 256):
+                       robot_r2_grids: int, n_theta: int = 512, n_phi: int = 256,
+                       pallas: bool | None = None):
     """Dense projective pointcloud OGM update (TPU-native default).
 
     Same contract as `pointcloud_raycast`, but free space is carved by a
@@ -110,10 +119,22 @@ def pointcloud_project(points, valid, origin, pvt, *, local_size, voxel_width,
     vphi = jnp.arctan2(vrel[..., 2], vrho)
     vbt = jnp.clip((vtheta + jnp.pi) * (n_theta / (2 * jnp.pi)), 0, n_theta - 1).astype(jnp.int32)
     vbp = jnp.clip((vphi + jnp.pi / 2) * (n_phi / jnp.pi), 0, n_phi - 1).astype(jnp.int32)
-    vbin = vbt * n_phi + vbp
 
-    vdepth = depth[vbin]
-    vcnt = cnt[vbin]
+    if pallas is None:
+        pallas = _use_pallas()
+    if pallas:
+        # theta depends only on the (x, y) column: the whole lookup runs as a
+        # gather-free Pallas kernel (one-hot MXU row select + VPU phi select)
+        from .pallas.carve import panorama_select
+
+        vdepth, vcnt = panorama_select(
+            depth.reshape(n_theta, n_phi), cnt.reshape(n_theta, n_phi),
+            vbt[:, :, 0], vbp,
+        )
+    else:
+        vbin = vbt * n_phi + vbp
+        vdepth = depth[vbin]
+        vcnt = cnt[vbin]
     max_length = 0.707 * X * voxel_width
     freed = (vdepth < big) & (vr + voxel_width < vdepth) & (vr <= max_length)
 

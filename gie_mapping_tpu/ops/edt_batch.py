@@ -150,11 +150,13 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = No
         tzy = lambda a: jnp.transpose(a, (0, 2, 1))
     else:
         tzy = lambda a: a
-    d2t, coc_x2t, coc_y2t, valid2it = env(
-        tzy(g1sq), (tzy(coc_y1), tzy(valid1.astype(jnp.int32)))
-    )
-    d2, coc_x2, coc_y2, valid2i = tzy(d2t), tzy(coc_x2t), tzy(coc_y2t), tzy(valid2it)
-    valid2 = valid2i > 0
+    # Payloads ride as ONE packed int32 (coords < 2^10, valid 1 bit), so the
+    # envelope's payload-select pass runs once instead of once per payload.
+    pay2 = (coc_y1 << 1) | valid1.astype(jnp.int32)
+    d2t, site2t, pay2t = env(tzy(g1sq), (tzy(pay2),))
+    d2, coc_x2, pay2s = tzy(d2t), tzy(site2t), tzy(pay2t)
+    coc_y2 = pay2s >> 1
+    valid2 = (pay2s & 1) > 0
     d2 = jnp.where(valid2, d2, _BIG)
 
     if Z == 1:
@@ -163,16 +165,18 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = No
     else:
         # ---- phase 3: lower envelope along z ----------------------------
         d2_z = jnp.moveaxis(d2, 2, 0)  # [Z,X,Y]
-        d3, coc_z3, coc_x3, coc_y3, valid3i = env(
-            d2_z,
-            (jnp.moveaxis(coc_x2, 2, 0), jnp.moveaxis(coc_y2, 2, 0),
-             jnp.moveaxis(valid2.astype(jnp.int32), 2, 0)),
+        pay3 = (
+            (jnp.moveaxis(coc_x2, 2, 0) << 11)
+            | (jnp.moveaxis(coc_y2, 2, 0) << 1)
+            | jnp.moveaxis(valid2.astype(jnp.int32), 2, 0)
         )
+        d3, coc_z3, pay3s = env(d2_z, (pay3,))
         dist_sq = jnp.moveaxis(d3, 0, 2)
         coc_z = jnp.moveaxis(coc_z3, 0, 2)
-        coc_x = jnp.moveaxis(coc_x3, 0, 2)
-        coc_y = jnp.moveaxis(coc_y3, 0, 2)
-        valid = jnp.moveaxis(valid3i, 0, 2) > 0
+        pay3b = jnp.moveaxis(pay3s, 0, 2)
+        coc_x = pay3b >> 11
+        coc_y = (pay3b >> 1) & ((1 << 10) - 1)
+        valid = (pay3b & 1) > 0
 
     dist_sq = jnp.where(valid, dist_sq, EMPTY_VALUE).astype(jnp.int32)
     inv = jnp.int32(INVALID_COC)

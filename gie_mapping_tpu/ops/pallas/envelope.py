@@ -40,10 +40,18 @@ def _round_up(v, m):
     return (v + m - 1) // m * m
 
 
-def _envelope_kernel(n_sites, idx_bits, n_payloads, active_ref, f_hbm, *refs):
+def _envelope_kernel(n_sites, idx_bits, n_payloads, active_ref, lo_ref, hi_ref,
+                     f_hbm, *refs):
     """Site operands stay in HBM; the active branch DMAs one [N,128] lane
     tile into VMEM scratch (once per lane tile — xc==0 runs first), so
-    skipped tiles pay neither compute nor fetch."""
+    skipped tiles pay neither compute nor fetch.
+
+    Both reduction loops run only over [lo, hi) — the tile's active site
+    range (sites outside are infinite-cost in every lane of the tile, so
+    they can never win; band-limited maps cut the O(N^2) loop to the
+    occupied slab).  Final batch_edt outputs stay bit-identical: lanes with
+    no finite site select an infinite-cost winner whose valid payload bit is
+    0 either way, and the caller masks on it."""
     pay_hbm = refs[:n_payloads]
     out_best = refs[n_payloads]
     out_site = refs[n_payloads + 1]
@@ -88,7 +96,7 @@ def _envelope_kernel(n_sites, idx_bits, n_payloads, active_ref, f_hbm, *refs):
             packed = (cand << idx_bits) | i
             return jnp.minimum(acc, packed)
 
-        acc = jax.lax.fori_loop(0, n_sites, body, init)
+        acc = jax.lax.fori_loop(lo_ref[lx], hi_ref[lx], body, init)
         site = acc & ((1 << idx_bits) - 1)
         out_best[:, :] = acc >> idx_bits
         out_site[:, :] = site
@@ -103,7 +111,7 @@ def _envelope_kernel(n_sites, idx_bits, n_payloads, active_ref, f_hbm, *refs):
                     for k in range(n_payloads)
                 )
 
-            sels = jax.lax.fori_loop(0, n_sites, pay_body, inits)
+            sels = jax.lax.fori_loop(lo_ref[lx], hi_ref[lx], pay_body, inits)
             for k in range(n_payloads):
                 out_pays[k][:, :] = sels[k]
 
@@ -121,18 +129,20 @@ def _envelope_2d(fsq, payloads, n_payloads: int):
     pp = [jnp.pad(p, ((0, 0), (0, Lp - L))) for p in payloads]
 
     n_tiles = Lp // LANES
-    active = (
-        jnp.min(fp.reshape(N, n_tiles, LANES), axis=(0, 2)) < cap
-    ).astype(jnp.int32)
+    act_s = jnp.any(fp.reshape(N, n_tiles, LANES) < cap, axis=2)  # [N, tiles]
+    any_t = jnp.any(act_s, axis=0)
+    active = any_t.astype(jnp.int32)
+    lo = jnp.where(any_t, jnp.argmax(act_s, axis=0), 0).astype(jnp.int32)
+    hi = jnp.where(any_t, N - jnp.argmax(act_s[::-1], axis=0), 0).astype(jnp.int32)
 
     grid = (n_tiles, Np // XC)
-    site_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM; manual DMA
+    site_spec = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM; manual DMA
     out_spec = pl.BlockSpec((XC, LANES), lambda lx, xc, *_: (xc, lx),
                             memory_space=pltpu.VMEM)
 
     n_out = 2 + n_payloads
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[site_spec] * (1 + n_payloads),
         out_specs=tuple([out_spec] * n_out),
@@ -145,7 +155,7 @@ def _envelope_2d(fsq, payloads, n_payloads: int):
         out_shape=tuple(
             jax.ShapeDtypeStruct((Np, Lp), jnp.int32) for _ in range(n_out)
         ),
-    )(active, fp, *pp)
+    )(active, lo, hi, fp, *pp)
     return tuple(o[:N, :L] for o in outs)
 
 

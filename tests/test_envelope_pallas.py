@@ -1,0 +1,82 @@
+"""Interpret-mode checks for the Pallas envelope kernel.
+
+Contract vs lower_envelope: identical (best, site, payloads) wherever a lane
+has at least one finite site; lanes with NO finite site may differ in raw
+site/best values but must carry payload-valid == 0 (batch_edt masks on it).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gie_mapping_tpu.ops.edt_batch import lower_envelope
+from gie_mapping_tpu.ops.pallas import envelope as env_mod
+
+
+@pytest.fixture
+def interp(monkeypatch):
+    orig = env_mod.pl.pallas_call
+
+    def patched(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(env_mod.pl, "pallas_call", patched)
+    # the jit cache would return the compiled (non-interpret) version
+    env_mod._envelope_2d._clear_cache()
+    yield
+    env_mod._envelope_2d._clear_cache()
+
+
+def _pack_valid(coc, valid):
+    return (coc << 1) | valid
+
+
+def test_envelope_pallas_matches_dense(interp):
+    rng = np.random.default_rng(5)
+    N, L = 50, 300
+    big = 1 << 28
+    fsq = np.where(rng.random((N, L)) < 0.85, big,
+                   rng.integers(0, 400, (N, L))).astype(np.int32)
+    # guarantee every lane has a site
+    fsq[rng.integers(0, N, L), np.arange(L)] = rng.integers(0, 400, L)
+    valid = (fsq < big).astype(np.int32)
+    pay = _pack_valid(rng.integers(0, 200, (N, L)).astype(np.int32), valid)
+
+    f = jnp.asarray(fsq)
+    p = jnp.asarray(pay)
+    b0, s0, p0 = lower_envelope(f, payloads=(p,), chunk=8)
+    b1, s1, p1 = env_mod.envelope_pallas(f, payloads=(p,))
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+
+
+def test_envelope_pallas_band_limited(interp):
+    """Sites only in rows [17, 29): the dynamic site-bound path must still be
+    exact, and site-free lanes must come back payload-invalid."""
+    rng = np.random.default_rng(9)
+    N, L = 64, 260
+    big = 1 << 28
+    fsq = np.full((N, L), big, np.int32)
+    band = rng.random((12, L)) < 0.4
+    fsq[17:29][band] = rng.integers(0, 900, band.sum())
+    # leave lanes 200+ completely siteless
+    fsq[:, 200:] = big
+    valid = (fsq < big).astype(np.int32)
+    pay = _pack_valid(rng.integers(0, 200, (N, L)).astype(np.int32), valid)
+
+    f = jnp.asarray(fsq)
+    p = jnp.asarray(pay)
+    b0, s0, p0 = lower_envelope(f, payloads=(p,), chunk=8)
+    b1, s1, p1 = env_mod.envelope_pallas(f, payloads=(p,))
+
+    has_site = valid.any(axis=0)
+    np.testing.assert_array_equal(np.asarray(b0)[:, has_site],
+                                  np.asarray(b1)[:, has_site])
+    np.testing.assert_array_equal(np.asarray(s0)[:, has_site],
+                                  np.asarray(s1)[:, has_site])
+    np.testing.assert_array_equal(np.asarray(p0)[:, has_site],
+                                  np.asarray(p1)[:, has_site])
+    # siteless lanes: payload-valid bit must be 0 under BOTH implementations
+    assert not (np.asarray(p1)[:, ~has_site] & 1).any()
+    assert not (np.asarray(p0)[:, ~has_site] & 1).any()

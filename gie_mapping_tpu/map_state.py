@@ -193,10 +193,28 @@ def scroll_canvas(state: MapState, new_origin_blk, cfg: MapConfig) -> MapState:
     )
 
 
-def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig) -> MapState:
+def _compact_ids(flags_flat, s_max):
+    """Indices of the (at most s_max) set flags, via one small sort.
+
+    Returns (ids int32 [s_max], valid bool [s_max]).  A sort of ~3.6k keys is
+    orders of magnitude cheaper on this part than a row scatter/gather with
+    3.6k indices (XLA serializes per index on TPU; examples/bench_archive_ops).
+    """
+    nb = flags_flat.shape[0]
+    rank = jnp.arange(nb, dtype=jnp.int32)
+    key = jnp.where(flags_flat, rank, nb)
+    ids = jax.lax.sort(key)[:s_max]
+    valid = ids < nb
+    return jnp.where(valid, ids, 0), valid
+
+
+def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
+               compact_rows: int | None = None) -> MapState:
     cb = cfg.canvas_blocks
     cs = cfg.canvas_size
     B = state.arch_keys.shape[0]
+    if compact_rows is not None:
+        compact_rows = min(compact_rows, cb[0] * cb[1] * cb[2])
     shift_blk = new_origin_blk - state.origin_blk
 
     bxi = jax.lax.broadcasted_iota(jnp.int32, cb, 0)
@@ -231,7 +249,14 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig) -> MapState:
 
     blocks = _canvas_as_blocks(packed, cb)  # [bx,by,bz,8,8,8,3]
     rows = blocks.reshape(-1, VB_SIZE_, 3)
-    a_packed = state.a_packed.at[slot].set(rows, mode="drop")
+    if compact_rows is None:
+        a_packed = state.a_packed.at[slot].set(rows, mode="drop")
+    else:
+        # ordinary scrolls move out only thin slabs: touch exactly those rows
+        # (host guarantees the exiting-block bound fits compact_rows)
+        ids, idv = _compact_ids(exits.reshape(-1), compact_rows)
+        cslot = jnp.where(idv, slot[ids], B)
+        a_packed = state.a_packed.at[cslot].set(rows[ids], mode="drop")
     n_arch = state.n_arch + granted
 
     # ---- 2. dense shift of the canvas (roll + exposed-region fill) ------
@@ -258,10 +283,19 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig) -> MapState:
     entering = ~present & (new_dir >= 0)
     gslot = jnp.where(entering, new_dir, 0).reshape(-1)
 
-    rows_in = a_packed[gslot].reshape(cb + (VB_WIDTH, VB_WIDTH, VB_WIDTH, 3))
-    pblocks = _canvas_as_blocks(packed, cb)
-    pblocks = jnp.where(entering[..., None, None, None, None], rows_in, pblocks)
-    packed = _blocks_to_dense(pblocks, cb)
+    nb = gslot.shape[0]
+    if compact_rows is None:
+        rows_in = a_packed[gslot].reshape(cb + (VB_WIDTH, VB_WIDTH, VB_WIDTH, 3))
+        pblocks = _canvas_as_blocks(packed, cb)
+        pblocks = jnp.where(entering[..., None, None, None, None], rows_in, pblocks)
+        packed = _blocks_to_dense(pblocks, cb)
+    else:
+        ids2, idv2 = _compact_ids(entering.reshape(-1), compact_rows)
+        grows = a_packed[jnp.where(idv2, gslot[ids2], 0)]
+        pbrows = _canvas_as_blocks(packed, cb).reshape(-1, VB_SIZE_, 3)
+        pbrows = pbrows.at[jnp.where(idv2, ids2, nb)].set(grows, mode="drop")
+        packed = _blocks_to_dense(
+            pbrows.reshape(cb + (VB_WIDTH, VB_WIDTH, VB_WIDTH, 3)), cb)
     present = present | entering
 
     occ_val, vox_type, dist_sq, coc = unpack_voxels(packed)

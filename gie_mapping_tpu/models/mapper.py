@@ -181,6 +181,24 @@ class VolumetricMapper:
         return self
 
     # ------------------------------------------------------------------
+    def _scroll_compact_rows(self, origin_blk):
+        """Static compacted-archive-IO size for this scroll, or None.
+
+        Upper-bounds exiting/entering blocks as NB - prod(cb - |shift|):
+        ordinary block crossings move thin slabs (~200-700 blocks of ~3.6k),
+        teleports exceed the bound and take the full-canvas path.  Bucketed
+        to two sizes so the jit cache stays small."""
+        prev = (self._origin if self._origin is not None
+                else np.asarray(self.state.origin_blk))
+        shift = np.abs(np.asarray(origin_blk) - prev)
+        cb = np.asarray(self.cfg.canvas_blocks, np.int64)
+        nb = int(cb.prod())
+        bound = nb - int(np.maximum(cb - shift, 0).prod())
+        for s in (256, 1024):
+            if bound <= s <= nb:
+                return s
+        return None
+
     def _frame_geometry(self, robot_pos):
         """Window pivot + canvas origin with scroll hysteresis: the canvas is
         slightly larger than window+halo, so the origin is kept while the
@@ -236,7 +254,9 @@ class VolumetricMapper:
 
         # host-gated scroll: only when the canvas origin crosses a block
         if self._origin is None or not np.array_equal(self._origin, origin_blk):
-            self.state = scroll_step(self.state, jnp.asarray(origin_blk), cfg=cfg)
+            self.state = scroll_step(
+                self.state, jnp.asarray(origin_blk), cfg=cfg,
+                compact_rows=self._scroll_compact_rows(origin_blk))
             self._origin = np.asarray(origin_blk).copy()
 
         self.state, out = merge_frame(

@@ -307,10 +307,17 @@ merge_frame = partial(jax.jit,
                       donate_argnums=(0,))(merge_frame_impl)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def scroll_step(state: MapState, new_origin_blk, *, cfg: MapConfig) -> MapState:
+@partial(jax.jit, static_argnames=("cfg", "compact_rows"), donate_argnums=(0,))
+def scroll_step(state: MapState, new_origin_blk, *, cfg: MapConfig,
+                compact_rows: int | None = None) -> MapState:
     """Host-gated canvas scroll: called only when the canvas origin actually
-    moves (a block crossing), so the common frame pays nothing."""
+    moves (a block crossing), so the common frame pays nothing.
+
+    compact_rows: when the host knows the exiting/entering block count is
+    bounded (ordinary +-1-block scrolls move thin slabs), the archive
+    put/get runs over a compacted id list of this static size — row
+    scatter/gather cost on this part is per-index, so touching ~200 rows
+    instead of all ~3.6k canvas blocks cuts the scroll's dominant cost."""
     from ..map_state import _do_scroll
 
-    return _do_scroll(state, new_origin_blk, cfg)
+    return _do_scroll(state, new_origin_blk, cfg, compact_rows=compact_rows)

@@ -83,3 +83,34 @@ def test_archive_capacity_overflow_counts():
     s = scroll_canvas(s, jnp.asarray([1000, 0, 0], jnp.int32), cfg)
     assert int(s.n_arch) == 2
     assert int(s.arch_dropped) == 2
+
+
+def test_compact_scroll_bitwise_equals_full():
+    """The compacted-archive-IO scroll path is bit-identical to the full
+    path for ordinary slab scrolls (host only selects it when the
+    exiting/entering bound fits)."""
+    import dataclasses
+
+    from gie_mapping_tpu.map_state import _do_scroll
+
+    cfg = _cfg(max_blocks=256)
+    rng = np.random.default_rng(21)
+    s = MapState.create(cfg)
+    # populate scattered content + presence
+    for _ in range(40):
+        pos = tuple(int(v) for v in rng.integers(0, np.asarray(cfg.canvas_size)))
+        s = _mark(s, pos, VOX_OCCUPIED)
+
+    shifts = [(1, 0, 0), (-1, 1, 0), (0, -1, 1), (2, 0, -1), (1, 1, 1)]
+    sf = sc = s
+    origin = np.zeros(3, int)
+    for sh in shifts:
+        origin = origin + np.asarray(sh)
+        tgt = jnp.asarray(origin, jnp.int32)
+        sf = _do_scroll(sf, tgt, cfg)
+        nb = int(np.prod(cfg.canvas_blocks))
+        sc = _do_scroll(sc, tgt, cfg, compact_rows=min(256, nb))
+        for f in dataclasses.fields(sf):
+            a = np.asarray(getattr(sf, f.name))
+            b = np.asarray(getattr(sc, f.name))
+            np.testing.assert_array_equal(a, b, err_msg=f.name)

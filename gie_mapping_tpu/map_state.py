@@ -209,7 +209,9 @@ def _compact_ids(flags_flat, s_max):
 
 
 def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
-               compact_rows: int | None = None) -> MapState:
+               compact_rows: int | None = None,
+               compact_cols: int | None = None,
+               use_pallas: bool | None = None) -> MapState:
     cb = cfg.canvas_blocks
     cs = cfg.canvas_size
     B = state.arch_keys.shape[0]
@@ -247,16 +249,37 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
     # then touch ONE array (XLA row scatters cost per index per operand)
     packed = pack_voxels(state.occ_val, state.vox_type, state.dist_sq, state.coc)
 
-    blocks = _canvas_as_blocks(packed, cb)  # [bx,by,bz,8,8,8,3]
-    rows = blocks.reshape(-1, VB_SIZE_, 3)
+    if use_pallas is None:
+        from .ops.edt_batch import _use_pallas
+        use_pallas = _use_pallas()
+
+    ncols = cb[0] * cb[1]
+    if compact_cols is None:
+        compact_cols = ncols
+    compact_cols = min(compact_cols, ncols)
+    jz = jnp.arange(cb[2], dtype=jnp.int32)
+
     if compact_rows is None:
+        rows = _canvas_as_blocks(packed, cb).reshape(-1, VB_SIZE_, 3)
         a_packed = state.a_packed.at[slot].set(rows, mode="drop")
+    elif use_pallas:
+        # DMA the moving (x,y) block-columns straight out of the dense
+        # canvas — no full-canvas block-major transpose (bench_scroll_bisect;
+        # host guarantees the exiting-column bound fits compact_cols)
+        from .ops.pallas.blockrows import gather_block_rows
+        cids, cidv = _compact_ids(
+            jnp.any(exits, axis=2).reshape(-1), compact_cols)
+        crows = gather_block_rows(packed, cids, cb)
+        bidx = cids[:, None] * cb[2] + jz[None, :]
+        cslot = jnp.where(cidv[:, None], slot[bidx], B)
+        a_packed = state.a_packed.at[cslot.reshape(-1)].set(crows, mode="drop")
     else:
         # ordinary scrolls move out only thin slabs: touch exactly those rows
         # (host guarantees the exiting-block bound fits compact_rows)
         ids, idv = _compact_ids(exits.reshape(-1), compact_rows)
         cslot = jnp.where(idv, slot[ids], B)
-        a_packed = state.a_packed.at[cslot].set(rows[ids], mode="drop")
+        crows = _canvas_as_blocks(packed, cb).reshape(-1, VB_SIZE_, 3)[ids]
+        a_packed = state.a_packed.at[cslot].set(crows, mode="drop")
     n_arch = state.n_arch + granted
 
     # ---- 2. dense shift of the canvas (roll + exposed-region fill) ------
@@ -289,6 +312,22 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
         pblocks = _canvas_as_blocks(packed, cb)
         pblocks = jnp.where(entering[..., None, None, None, None], rows_in, pblocks)
         packed = _blocks_to_dense(pblocks, cb)
+    elif use_pallas:
+        # DMA entering rows straight into the rolled canvas by block-column;
+        # invalid entries park at a non-entering column (exists: entering
+        # columns can only cover the canvas when every entry is valid) and
+        # rewrite it unchanged
+        from .ops.pallas.blockrows import scatter_block_rows
+        enter_cols = jnp.any(entering, axis=2).reshape(-1)
+        cids2, cidv2 = _compact_ids(enter_cols, compact_cols)
+        park = jnp.argmin(enter_cols).astype(jnp.int32)
+        colv = jnp.where(cidv2, cids2, park)
+        bidx2 = cids2[:, None] * cb[2] + jz[None, :]
+        valid_b = entering.reshape(-1)[bidx2] & cidv2[:, None]
+        slot_b = jnp.where(valid_b, gslot[bidx2], 0)
+        grows = a_packed[slot_b.reshape(-1)]
+        packed = scatter_block_rows(
+            packed, grows, colv, valid_b.astype(jnp.int32).reshape(-1), cb)
     else:
         ids2, idv2 = _compact_ids(entering.reshape(-1), compact_rows)
         grows = a_packed[jnp.where(idv2, gslot[ids2], 0)]

@@ -182,22 +182,31 @@ class VolumetricMapper:
 
     # ------------------------------------------------------------------
     def _scroll_compact_rows(self, origin_blk):
-        """Static compacted-archive-IO size for this scroll, or None.
+        """Static compacted-archive-IO sizes (rows, cols) for this scroll,
+        or (None, None).
 
         Upper-bounds exiting/entering blocks as NB - prod(cb - |shift|):
         ordinary block crossings move thin slabs (~200-700 blocks of ~3.6k),
         teleports exceed the bound and take the full-canvas path.  Bucketed
-        to two sizes so the jit cache stays small."""
+        to two sizes so the jit cache stays small.  The column bound (the
+        Pallas kernels' work unit) is NCOLS - prod(cb.xy - |shift.xy|), or
+        every column when the shift has a z component."""
         prev = (self._origin if self._origin is not None
                 else np.asarray(self.state.origin_blk))
         shift = np.abs(np.asarray(origin_blk) - prev)
         cb = np.asarray(self.cfg.canvas_blocks, np.int64)
         nb = int(cb.prod())
+        ncols = int(cb[0] * cb[1])
         bound = nb - int(np.maximum(cb - shift, 0).prod())
+        if shift[2] != 0:
+            col_bound = ncols
+        else:
+            col_bound = ncols - int(np.maximum(cb[:2] - shift[:2], 0).prod())
+        cols = next((s for s in (64,) if col_bound <= s <= ncols), ncols)
         for s in (256, 1024):
             if bound <= s <= nb:
-                return s
-        return None
+                return s, cols
+        return None, None
 
     def _frame_geometry(self, robot_pos):
         """Window pivot + canvas origin with scroll hysteresis: the canvas is
@@ -254,9 +263,10 @@ class VolumetricMapper:
 
         # host-gated scroll: only when the canvas origin crosses a block
         if self._origin is None or not np.array_equal(self._origin, origin_blk):
+            rows, cols = self._scroll_compact_rows(origin_blk)
             self.state = scroll_step(
                 self.state, jnp.asarray(origin_blk), cfg=cfg,
-                compact_rows=self._scroll_compact_rows(origin_blk))
+                compact_rows=rows, compact_cols=cols)
             self._origin = np.asarray(origin_blk).copy()
 
         self.state, out = merge_frame(

@@ -307,9 +307,11 @@ merge_frame = partial(jax.jit,
                       donate_argnums=(0,))(merge_frame_impl)
 
 
-@partial(jax.jit, static_argnames=("cfg", "compact_rows"), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("cfg", "compact_rows", "compact_cols"),
+         donate_argnums=(0,))
 def scroll_step(state: MapState, new_origin_blk, *, cfg: MapConfig,
-                compact_rows: int | None = None) -> MapState:
+                compact_rows: int | None = None,
+                compact_cols: int | None = None) -> MapState:
     """Host-gated canvas scroll: called only when the canvas origin actually
     moves (a block crossing), so the common frame pays nothing.
 
@@ -317,7 +319,10 @@ def scroll_step(state: MapState, new_origin_blk, *, cfg: MapConfig,
     bounded (ordinary +-1-block scrolls move thin slabs), the archive
     put/get runs over a compacted id list of this static size — row
     scatter/gather cost on this part is per-index, so touching ~200 rows
-    instead of all ~3.6k canvas blocks cuts the scroll's dominant cost."""
+    instead of all ~3.6k canvas blocks cuts the scroll's dominant cost.
+    compact_cols: the same bound in (x,y) block-columns — the unit of the
+    Pallas archive-I/O kernels used on TPU (ops/pallas/blockrows.py)."""
     from ..map_state import _do_scroll
 
-    return _do_scroll(state, new_origin_blk, cfg, compact_rows=compact_rows)
+    return _do_scroll(state, new_origin_blk, cfg, compact_rows=compact_rows,
+                      compact_cols=compact_cols)

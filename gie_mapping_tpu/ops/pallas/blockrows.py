@@ -1,0 +1,144 @@
+"""Pallas TPU kernels for scroll archive I/O: block-row gather/scatter.
+
+The scroll (map_state._do_scroll) moves S thin-slab blocks between the dense
+packed canvas [X,Y,Z,3]u32 and the archive rows [B,512,3]u32.  The XLA
+formulation pays THREE full-canvas dense<->block-major transposes per scroll
+(~3 ms each measured; examples/bench_scroll_bisect.py) to move ~S*6 KB of
+actual payload.
+
+These kernels exploit an exact layout identity: archive row b viewed as
+[8, 8, 24] (x, y, z*3 row-major) has the same element order as the canvas
+tile packed.reshape(X, Y, Z*3)[8bx:8bx+8, 8by:8by+8, 24bz:24bz+24].  Mosaic
+requires the last two block dims to be (8,128)-divisible or whole, so the
+kernels work in units of (x,y) BLOCK-COLUMNS: one grid step moves the legal
+(8, 8, Z*3) canvas tile — the column's full z-extent of cbz blocks — and the
+z-split/merge into 24-lane archive rows happens with static in-kernel slices.
+All placement logic lives in scalar-prefetched index_maps and 6 KB-contiguous
+row DMAs; only the moving columns are touched.
+
+Replaces the reference's per-block D2H streaming memcpys + hash insertions
+(src/kernel/par_wave/glb_hash_map.cu:209-247) on the TPU's terms.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils.constants import VB_WIDTH
+
+W = VB_WIDTH        # 8
+LW = 3 * VB_WIDTH   # 24 lanes: one block's z*payload extent
+
+
+def _col_map(canvas_blocks):
+    by = canvas_blocks[1]
+
+    def index_map(i, col_ref, *_):
+        # lax.div/rem, not //: jnp's jit-wrapped floor_divide cannot lower
+        # inside a TPU index_map (ids are non-negative, so trunc == floor)
+        c = col_ref[i]
+        return jax.lax.div(c, jnp.int32(by)), jax.lax.rem(c, jnp.int32(by)), 0
+
+    return index_map
+
+
+def _gather_kernel(cbz, col_ref, src_ref, dst_ref):
+    for j in range(cbz):
+        dst_ref[j * W:(j + 1) * W, :, :] = src_ref[:, :, j * LW:(j + 1) * LW]
+
+
+@functools.partial(jax.jit, static_argnames=("canvas_blocks", "interpret"))
+def gather_block_rows(packed, col_ids, canvas_blocks, *, interpret: bool = False):
+    """Extract whole block-columns of the packed canvas as archive rows.
+
+    Args:
+      packed:  uint32 [X, Y, Z, 3] packed canvas (map_state.pack_voxels).
+      col_ids: int32 [S] linear (x,y) block-column ids (bx*cby + by); entries
+               may repeat or be garbage-in-range (callers pad with 0).
+
+    Returns uint32 [S*cbz, 512, 3]: row k*cbz + j is block (col k, z-block j)
+    — bit-identical to
+    _dense_to_blocks(packed).reshape(-1, 512, 3)[col_ids[k]*cbz + j].
+    """
+    X, Y, Z, _ = packed.shape
+    cbz = canvas_blocks[2]
+    S = col_ids.shape[0]
+    cv = packed.reshape(X, Y, Z * 3)
+
+    rows = pl.pallas_call(
+        functools.partial(_gather_kernel, cbz),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(S,),
+            in_specs=[pl.BlockSpec((W, W, Z * 3), _col_map(canvas_blocks))],
+            out_specs=pl.BlockSpec((cbz * W, W, LW), lambda i, *_: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((S * cbz * W, W, LW), jnp.uint32),
+        interpret=interpret,
+    )(col_ids, cv)
+    return rows.reshape(S * cbz, W ** 3, 3)
+
+
+def _scatter_kernel(cbz, col_ref, valid_ref, rows_ref, canvas_ref, out_ref):
+    i = pl.program_id(0)
+    out_ref[...] = canvas_ref[...]
+    for j in range(cbz):
+        @pl.when(valid_ref[i * cbz + j] != 0)
+        def _(j=j):
+            out_ref[:, :, j * LW:(j + 1) * LW] = rows_ref[j * W:(j + 1) * W, :, :]
+
+
+@functools.partial(jax.jit, static_argnames=("canvas_blocks", "interpret"),
+                   donate_argnums=(0,))
+def scatter_block_rows(packed, rows, col_ids, valid, canvas_blocks,
+                       *, interpret: bool = False):
+    """Write archive rows into canvas blocks in place, by block-column.
+
+    For column entry k and z-block j (flat index e = k*cbz + j), if
+    valid[e] != 0: canvas block (col_ids[k], j) := rows[e].  (Mosaic cannot
+    DMA 24-lane slices out of the archive directly — minor dims must be
+    128-aligned — so the caller pre-gathers the compact [S*cbz, 512, 3] rows
+    with one small XLA row gather and the kernel only places them.)
+
+    Invalid COLUMN entries must carry a parking col_ids[k] distinct from
+    every valid target (e.g. any column with no entering block): the kernel
+    re-reads that tile and writes it back unchanged, so repeats among
+    invalid entries are safe.  Callers should order valid entries first
+    (map_state._compact_ids does) so repeated parking tiles coalesce.
+
+    Args:
+      packed:  uint32 [X, Y, Z, 3] canvas (donated; updated in place).
+      rows:    uint32 [S*cbz, 512, 3] row payload per (column, z-block).
+      col_ids: int32 [S] target column id (parking where the column is
+               invalid).
+      valid:   int32 [S*cbz] 0/1.
+
+    Returns the updated [X, Y, Z, 3] canvas.
+    """
+    X, Y, Z, _ = packed.shape
+    cbz = canvas_blocks[2]
+    S = col_ids.shape[0]
+    cv = packed.reshape(X, Y, Z * 3)
+    rv = rows.reshape(S * cbz * W, W, LW)
+
+    cm = _col_map(canvas_blocks)
+    out = pl.pallas_call(
+        functools.partial(_scatter_kernel, cbz),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(S,),
+            in_specs=[
+                pl.BlockSpec((cbz * W, W, LW), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((W, W, Z * 3), cm),
+            ],
+            out_specs=pl.BlockSpec((W, W, Z * 3), cm),
+        ),
+        out_shape=jax.ShapeDtypeStruct((X, Y, Z * 3), jnp.uint32),
+        input_output_aliases={3: 0},  # canvas input (after 2 scalars + rows)
+        interpret=interpret,
+    )(col_ids, valid, rv, cv)
+    return out.reshape(X, Y, Z, 3)

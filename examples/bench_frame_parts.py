@@ -137,7 +137,13 @@ def main():
         return (w + (c2[0, 0, 0] % 1).astype(w.dtype), acc + c2[0, 0, 0])
 
     def scroll_step_fn(st):
-        # alternate +1/-1 block in x so state shape/occupancy stays realistic
+        # alternate +1/-1 block in x so state shape/occupancy stays realistic;
+        # compact sizes match mapper._scroll_compact_rows for a +-1 x shift
+        delta = jnp.where((st.origin_blk[0] % 2) == (orig_d[0] % 2), 1, -1)
+        tgt = st.origin_blk.at[0].add(delta)
+        return _do_scroll(st, tgt, cfg, compact_rows=256, compact_cols=64)
+
+    def scroll_full_fn(st):
         delta = jnp.where((st.origin_blk[0] % 2) == (orig_d[0] % 2), 1, -1)
         tgt = st.origin_blk.at[0].add(delta)
         return _do_scroll(st, tgt, cfg)
@@ -147,6 +153,7 @@ def main():
         ("edt only", lambda: timed_scan(edt_step, state)),
         ("raycast", lambda: timed_scan(ray_step, (world_pts, jnp.int32(0)))),
         ("scroll step", lambda: timed_scan(scroll_step_fn, state)),
+        ("scroll (teleport)", lambda: timed_scan(scroll_full_fn, state)),
     ]
     for name, fn in rows:
         print(f"{name}: {fn():.2f} ms")

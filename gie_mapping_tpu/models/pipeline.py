@@ -236,28 +236,34 @@ def merge_frame_impl(
             max_iters=cfg.relax_iters,
         )
 
-    if cfg.merge_mode == "canvas_edt":
-        # gate writes: window always (finalized below), outside only when the
-        # full wavefront set is active (fast_mode skips lower/raise-out,
-        # glb_hash_map.cu:174-192) and only where observed
-        out_write = jnp.zeros_like(outside_observed) if cfg.fast_mode else outside_observed
-        writable = window_mask | out_write
-        dist = jnp.where(writable, dist, state.dist_sq)
-        coc = jnp.where(writable[..., None], coc, state.coc)
-
     # ---- frontiers (obtainFrontiers FNT marking) ------------------------
-    glb_type_out, fnt = mark_frontiers(canvas_type, win, glb_type)
+    glb_type_out, fnt = mark_frontiers(canvas_type, glb_type, win_off, local_size)
 
-    # ---- finalize window write-back (UpdateHashBatch) -------------------
+    # ---- finalize write-back (UpdateHashBatch) --------------------------
     dist_win = win(dist)
     coc_win = win(coc)
     pair_valid = dist_win != EMPTY_VALUE
     observed_win = glb_type != VOX_UNKNOWN
     writeback = observed_win & pair_valid
 
-    final_dist = _uncrop(dist, jnp.where(writeback, dist_win, win(old_dist)), win_off)
-    final_coc = _uncrop(coc, jnp.where(writeback[..., None], coc_win, win(state.coc)),
-                        win_off)
+    if cfg.merge_mode == "canvas_edt":
+        # ONE fused select per buffer: in-window voxels take the candidate
+        # where observed with a valid pair; outside-window voxels take it
+        # where observed and the full wavefront set is active (fast_mode
+        # skips lower/raise-out, glb_hash_map.cu:174-192).  Equivalent to
+        # the writable-gate + window write-back crop/uncrop chain, but each
+        # of those passes materialised full dist (7 MB) + coc (11 MB).
+        take = window_mask & observed_canvas & present_vox_canvas \
+            & (dist != EMPTY_VALUE)
+        if not cfg.fast_mode:
+            take = take | outside_observed
+        final_dist = jnp.where(take, dist, state.dist_sq)
+        final_coc = jnp.where(take[..., None], coc, state.coc)
+    else:
+        final_dist = _uncrop(dist, jnp.where(writeback, dist_win, win(old_dist)),
+                             win_off)
+        final_coc = _uncrop(coc, jnp.where(writeback[..., None], coc_win,
+                                           win(state.coc)), win_off)
     vt_win = jnp.where(fnt & writeback, jnp.int8(VOX_FNT), new_type_win)
     canvas_type = _uncrop(canvas_type, vt_win, win_off)
 

@@ -174,17 +174,29 @@ def relax_fixed_point(dist, coc, can_update, outside_observed, window_mask,
     return dist, coc, iters
 
 
-def mark_frontiers(canvas_vox_type, crop, glb_type):
+def mark_frontiers(canvas_vox_type, glb_type, win_off, local_size):
     """Exploration-frontier (VOXTYPE_FNT) extraction
     (unify_helper.cuh:441-444): FREE window voxels with an UNKNOWN 6-neighbour
-    (absent blocks count as unknown).  `crop` maps a canvas array to its
-    window view."""
+    (absent blocks and beyond-canvas count as unknown).
+
+    Works on a window+1-halo slice instead of dilating the full canvas: only
+    the window's 6-neighbourhood can contribute, so this touches ~(L+2)^3
+    voxels instead of the whole canvas (6x less traffic at cow-lady scale).
+    The slice start is clamped into the canvas; a slice face can only lose
+    its real halo when it coincides with a canvas face, where the shift's
+    unknown-fill is exactly the beyond-canvas semantics."""
     from ..utils.constants import VOX_FREE, VOX_FNT
 
-    unknown = canvas_vox_type == VOX_UNKNOWN
+    cs = canvas_vox_type.shape
+    ext = tuple(min(l + 2, c) for l, c in zip(local_size, cs))
+    starts = [jnp.clip(win_off[a] - 1, 0, cs[a] - ext[a]) for a in range(3)]
+    rel = [win_off[a] - starts[a] for a in range(3)]
+    sl = jax.lax.dynamic_slice(canvas_vox_type, starts, ext)
+    unknown = sl == VOX_UNKNOWN
     nbr_unknown = jnp.zeros_like(unknown)
     for axis in range(3):
         for sign in (1, -1):
             nbr_unknown |= _shift_fill(unknown, axis, sign, True)
-    fnt = (glb_type == VOX_FREE) & crop(nbr_unknown)
+    nbr_win = jax.lax.dynamic_slice(nbr_unknown, rel, local_size)
+    fnt = (glb_type == VOX_FREE) & nbr_win
     return jnp.where(fnt, VOX_FNT, glb_type).astype(jnp.int8), fnt

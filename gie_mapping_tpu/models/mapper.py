@@ -23,7 +23,7 @@ from ..ops import scan_sensors as ss
 from ..utils import geometry as geo
 from ..utils.config import MapConfig, DEFAULT_FENCE_LL, DEFAULT_FENCE_UR
 from ..utils.constants import VB_WIDTH, VOX_UNKNOWN
-from .pipeline import merge_frame, scroll_step
+from .pipeline import frame_step, merge_frame, scroll_step
 
 
 class FrameOutput:
@@ -224,6 +224,15 @@ class VolumetricMapper:
         origin_blk, origin_vox, off = canvas_geometry(cfg, pvt)
         return pvt, origin_blk, off
 
+    def _zeros_i32(self):
+        """Cached all-zero int32 ray-count window for projection sensors:
+        frame_step never donates it, and a fresh jnp.zeros each frame is one
+        more per-frame dispatch on the link."""
+        z = getattr(self, "_zero_cnt", None)
+        if z is None:
+            z = self._zero_cnt = jnp.zeros(self.cfg.local_size, jnp.int32)
+        return z
+
     def _fence_args(self, pvt):
         cfg = self.cfg
         win_ll = pvt.astype(np.float32) * cfg.voxel_width
@@ -249,16 +258,26 @@ class VolumetricMapper:
              t_sensor0, raycast_inputs=None):
         cfg = self.cfg
         fence, fence_on = self._fence_args(pvt)
+        # pack the per-frame scalars into as few H2D transfers as possible:
+        # each small upload is a separate ~0.2-0.35 ms enqueue on remote links
+        # (examples/bench_dispatch.py), so pvt/origin/off ride one [3,3] i32
+        # array and the sensor rotation+origin one [4,3] f32 array
+        pose_h = np.empty((3, 3), np.int32)
+        pose_h[0], pose_h[1], pose_h[2] = pvt, origin_blk, off
+        pose_i = jnp.asarray(pose_h)
         if raycast_inputs is None:
-            inst_type = jnp.asarray(inst_type)
-            ray_count = jnp.asarray(ray_count)
-            extra = {}
+            if getattr(self, "_zero_pose_f", None) is None:
+                self._zero_pose_f = jnp.zeros((4, 3), jnp.float32)
+            pose_f = self._zero_pose_f
+            extra = {"inst_type": jnp.asarray(inst_type),
+                     "ray_count": jnp.asarray(ray_count)}
         else:
-            inst_type = jnp.zeros(cfg.local_size, jnp.int8)
-            ray_count = jnp.zeros(cfg.local_size, jnp.int32)
-            pts, vmask, origin3 = raycast_inputs
-            extra = {"points": pts, "pts_valid": vmask,
-                     "sensor_origin": origin3, "fuse_raycast": True}
+            pts, vmask, rot3, origin3 = raycast_inputs
+            pf_h = np.empty((4, 3), np.float32)
+            pf_h[:3] = np.asarray(rot3, np.float32)
+            pf_h[3] = np.asarray(origin3, np.float32)
+            pose_f = jnp.asarray(pf_h)
+            extra = {"points": pts, "pts_valid": vmask, "fuse_raycast": True}
         t_ogm = time.perf_counter()
 
         # host-gated scroll: only when the canvas origin crosses a block
@@ -269,11 +288,9 @@ class VolumetricMapper:
                 compact_rows=rows, compact_cols=cols)
             self._origin = np.asarray(origin_blk).copy()
 
-        self.state, out = merge_frame(
-            self.state, inst_type, ray_count,
-            jnp.asarray(pvt), jnp.asarray(origin_blk), jnp.asarray(off),
-            *fence, cfg=cfg, input_pointcloud=input_pointcloud, do_scroll=False,
-            use_fence=fence_on, **extra,
+        self.state, out = frame_step(
+            self.state, pose_i, pose_f, *fence, cfg=cfg,
+            input_pointcloud=input_pointcloud, use_fence=fence_on, **extra,
         )
         t_end = time.perf_counter()
 
@@ -386,7 +403,7 @@ class VolumetricMapper:
             ogm_max_h=cfg.ogm_max_h, for_motion_planner=cfg.for_motion_planner,
             robot_r2_grids=cfg.robot_r2_grids,
         )
-        zeros = jnp.zeros(cfg.local_size, jnp.int32)
+        zeros = self._zeros_i32()
         return self._run(inst, zeros, pvt, origin_blk, off,
                          input_pointcloud=False, t_sensor0=t0)
 
@@ -405,7 +422,7 @@ class VolumetricMapper:
             ogm_max_h=cfg.ogm_max_h, for_motion_planner=cfg.for_motion_planner,
             robot_r2_grids=cfg.robot_r2_grids, valid_nan=cfg.valid_nan,
         )
-        zeros = jnp.zeros(cfg.local_size, jnp.int32)
+        zeros = self._zeros_i32()
         return self._run(inst, zeros, pvt, origin_blk, off,
                          input_pointcloud=False, t_sensor0=t0)
 
@@ -426,7 +443,7 @@ class VolumetricMapper:
             ogm_max_h=cfg.ogm_max_h, for_motion_planner=cfg.for_motion_planner,
             robot_r2_grids=cfg.robot_r2_grids,
         )
-        zeros = jnp.zeros(cfg.local_size, jnp.int32)
+        zeros = self._zeros_i32()
         return self._run(inst, zeros, pvt, origin_blk, off,
                          input_pointcloud=False, t_sensor0=t0)
 
@@ -466,13 +483,15 @@ class VolumetricMapper:
             vmask = np.zeros(cfg.max_raycast_points, bool)
             vmask[:n] = True if valid is None else np.asarray(valid, bool)[:n]
 
-        world = proj.l2g(jnp.asarray(buf))
         if cfg.raycast_mode == "projective" and cfg.fuse_raycast:
-            # single-program frame (lower dispatch count; loses cross-frame
-            # raycast/merge overlap — net win only on dispatch-bound links)
+            # single-program frame: the sensor->world transform runs inside
+            # frame_step (the rotation rides the packed pose upload), so a
+            # frame costs two small uploads + one dispatch
             return self._run(None, None, pvt, origin_blk, off,
                              input_pointcloud=True, t_sensor0=t0,
-                             raycast_inputs=(world, jnp.asarray(vmask), proj.trans))
+                             raycast_inputs=(jnp.asarray(buf), jnp.asarray(vmask),
+                                             proj.rot, proj.trans))
+        world = proj.l2g(jnp.asarray(buf))
         kw = {}
         if cfg.raycast_mode == "dda":
             kernel = rc.pointcloud_raycast

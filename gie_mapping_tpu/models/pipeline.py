@@ -313,6 +313,38 @@ merge_frame = partial(jax.jit,
                       donate_argnums=(0,))(merge_frame_impl)
 
 
+@partial(jax.jit,
+         static_argnames=("cfg", "input_pointcloud", "mesh", "use_fence",
+                          "fuse_raycast"),
+         donate_argnums=(0,))
+def frame_step(state, pose_i, pose_f, fence_ll, fence_ur, fence_active, fence_n,
+               inst_type=None, ray_count=None, points=None, pts_valid=None, *,
+               cfg: MapConfig, input_pointcloud: bool, mesh=None,
+               use_fence: bool = True, fuse_raycast: bool = False):
+    """Low-latency per-frame entry used by the mapper (merge_frame with the
+    per-frame scalars packed).
+
+    Every small host->device transfer is a separate ~0.2-0.35 ms enqueue on
+    remote links, so the three pose vectors ride ONE int32 [3,3] array
+    (pvt / canvas_origin_blk / win_off rows) and the sensor pose ONE float32
+    [4,3] array (rotation rows, then origin).  With fuse_raycast the
+    sensor->world point transform runs in-program too, removing the
+    per-frame l2g dispatch: a frame is two 36-byte uploads + one dispatch."""
+    pvt, origin_blk, off = pose_i[0], pose_i[1], pose_i[2]
+    kw = {}
+    if fuse_raycast:
+        rot, origin = pose_f[:3], pose_f[3]
+        inst_type = jnp.zeros(cfg.local_size, jnp.int8)
+        ray_count = jnp.zeros(cfg.local_size, jnp.int32)
+        kw = dict(points=points @ rot.T + origin, pts_valid=pts_valid,
+                  sensor_origin=origin)
+    return merge_frame_impl(
+        state, inst_type, ray_count, pvt, origin_blk, off,
+        fence_ll, fence_ur, fence_active, fence_n,
+        cfg=cfg, input_pointcloud=input_pointcloud, mesh=mesh,
+        do_scroll=False, use_fence=use_fence, fuse_raycast=fuse_raycast, **kw)
+
+
 @partial(jax.jit, static_argnames=("cfg", "compact_rows", "compact_cols"),
          donate_argnums=(0,))
 def scroll_step(state: MapState, new_origin_blk, *, cfg: MapConfig,

@@ -153,30 +153,51 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = No
     # Payloads ride as ONE packed int32 (coords < 2^10, valid 1 bit), so the
     # envelope's payload-select pass runs once instead of once per payload.
     pay2 = (coc_y1 << 1) | valid1.astype(jnp.int32)
-    d2t, site2t, pay2t = env(tzy(g1sq), (tzy(pay2),))
-    d2, coc_x2, pay2s = tzy(d2t), tzy(site2t), tzy(pay2t)
-    coc_y2 = pay2s >> 1
-    valid2 = (pay2s & 1) > 0
-    d2 = jnp.where(valid2, d2, _BIG)
-
-    if Z == 1:
-        dist_sq, coc_x, coc_y, valid = d2, coc_x2, coc_y2, valid2
-        coc_z = jnp.zeros_like(coc_x)
-    else:
-        # ---- phase 3: lower envelope along z ----------------------------
-        d2_z = jnp.moveaxis(d2, 2, 0)  # [Z,X,Y]
-        pay3 = (
-            (jnp.moveaxis(coc_x2, 2, 0) << 11)
-            | (jnp.moveaxis(coc_y2, 2, 0) << 1)
-            | jnp.moveaxis(valid2.astype(jnp.int32), 2, 0)
-        )
-        d3, coc_z3, pay3s = env(d2_z, (pay3,))
-        dist_sq = jnp.moveaxis(d3, 0, 2)
-        coc_z = jnp.moveaxis(coc_z3, 0, 2)
-        pay3b = jnp.moveaxis(pay3s, 0, 2)
+    if zmajor and Z > 1:
+        # Keep the z-major [X,Z,Y] layout through the phase-2/3 boundary:
+        # [X,Z,Y] -> [Z,X,Y] is ONE transposed pass per packed array instead
+        # of the naive six (three tzy-backs, then per-payload moveaxes), and
+        # the return to canvas layout packs (dist, coc_z, valid) into one
+        # int32 so it is two passes, not three.
+        d2t, site2t, pay2t = env(tzy(g1sq), (tzy(pay2),))
+        d2m = jnp.where((pay2t & 1) > 0, d2t, _BIG)        # [X,Z,Y]
+        pay3 = jnp.moveaxis((site2t << 11) | pay2t, 1, 0)  # [Z,X,Y]
+        d3, coc_z3, pay3s = env(jnp.moveaxis(d2m, 1, 0), (pay3,))
+        zbits = (Z - 1).bit_length() + 1
+        d3c = jnp.minimum(d3, (1 << (30 - zbits)) - 1)
+        packed_c = jnp.moveaxis(
+            (d3c << (zbits + 1)) | (coc_z3 << 1) | (pay3s & 1), 0, 2)
+        pay3b = jnp.moveaxis(pay3s, 0, 2)                  # [X,Y,Z]
+        dist_sq = packed_c >> (zbits + 1)
+        coc_z = (packed_c >> 1) & ((1 << zbits) - 1)
         coc_x = pay3b >> 11
         coc_y = (pay3b >> 1) & ((1 << 10) - 1)
-        valid = (pay3b & 1) > 0
+        valid = (packed_c & 1) > 0
+    else:
+        d2t, site2t, pay2t = env(tzy(g1sq), (tzy(pay2),))
+        d2, coc_x2, pay2s = tzy(d2t), tzy(site2t), tzy(pay2t)
+        coc_y2 = pay2s >> 1
+        valid2 = (pay2s & 1) > 0
+        d2 = jnp.where(valid2, d2, _BIG)
+
+        if Z == 1:
+            dist_sq, coc_x, coc_y, valid = d2, coc_x2, coc_y2, valid2
+            coc_z = jnp.zeros_like(coc_x)
+        else:
+            # ---- phase 3: lower envelope along z ------------------------
+            d2_z = jnp.moveaxis(d2, 2, 0)  # [Z,X,Y]
+            pay3 = (
+                (jnp.moveaxis(coc_x2, 2, 0) << 11)
+                | (jnp.moveaxis(coc_y2, 2, 0) << 1)
+                | jnp.moveaxis(valid2.astype(jnp.int32), 2, 0)
+            )
+            d3, coc_z3, pay3s = env(d2_z, (pay3,))
+            dist_sq = jnp.moveaxis(d3, 0, 2)
+            coc_z = jnp.moveaxis(coc_z3, 0, 2)
+            pay3b = jnp.moveaxis(pay3s, 0, 2)
+            coc_x = pay3b >> 11
+            coc_y = (pay3b >> 1) & ((1 << 10) - 1)
+            valid = (pay3b & 1) > 0
 
     dist_sq = jnp.where(valid, dist_sq, EMPTY_VALUE).astype(jnp.int32)
     inv = jnp.int32(INVALID_COC)

@@ -23,7 +23,7 @@ from ..ops import scan_sensors as ss
 from ..utils import geometry as geo
 from ..utils.config import MapConfig, DEFAULT_FENCE_LL, DEFAULT_FENCE_UR
 from ..utils.constants import VB_WIDTH, VOX_UNKNOWN
-from .pipeline import frame_step, merge_frame, scroll_step
+from .pipeline import frame_step, merge_frame, scroll_frame_step, scroll_step
 
 
 class FrameOutput:
@@ -280,18 +280,21 @@ class VolumetricMapper:
             extra = {"points": pts, "pts_valid": vmask, "fuse_raycast": True}
         t_ogm = time.perf_counter()
 
-        # host-gated scroll: only when the canvas origin crosses a block
+        # host-gated scroll: only block-crossing frames pay it, and they run
+        # the scroll fused into the frame program (one dispatch, not two)
         if self._origin is None or not np.array_equal(self._origin, origin_blk):
             rows, cols = self._scroll_compact_rows(origin_blk)
-            self.state = scroll_step(
-                self.state, jnp.asarray(origin_blk), cfg=cfg,
-                compact_rows=rows, compact_cols=cols)
             self._origin = np.asarray(origin_blk).copy()
-
-        self.state, out = frame_step(
-            self.state, pose_i, pose_f, *fence, cfg=cfg,
-            input_pointcloud=input_pointcloud, use_fence=fence_on, **extra,
-        )
+            self.state, out = scroll_frame_step(
+                self.state, pose_i, pose_f, *fence, cfg=cfg,
+                input_pointcloud=input_pointcloud, use_fence=fence_on,
+                compact_rows=rows, compact_cols=cols, **extra,
+            )
+        else:
+            self.state, out = frame_step(
+                self.state, pose_i, pose_f, *fence, cfg=cfg,
+                input_pointcloud=input_pointcloud, use_fence=fence_on, **extra,
+            )
         t_end = time.perf_counter()
 
         self.map_ct += 1

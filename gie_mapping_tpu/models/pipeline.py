@@ -345,6 +345,40 @@ def frame_step(state, pose_i, pose_f, fence_ll, fence_ur, fence_active, fence_n,
         do_scroll=False, use_fence=use_fence, fuse_raycast=fuse_raycast, **kw)
 
 
+@partial(jax.jit,
+         static_argnames=("cfg", "input_pointcloud", "mesh", "use_fence",
+                          "fuse_raycast", "compact_rows", "compact_cols"),
+         donate_argnums=(0,))
+def scroll_frame_step(state, pose_i, pose_f, fence_ll, fence_ur, fence_active,
+                      fence_n, inst_type=None, ray_count=None, points=None,
+                      pts_valid=None, *, cfg: MapConfig, input_pointcloud: bool,
+                      mesh=None, use_fence: bool = True,
+                      fuse_raycast: bool = False,
+                      compact_rows: int | None = None,
+                      compact_cols: int | None = None):
+    """frame_step with the compacted canvas scroll fused in: on block-crossing
+    frames this replaces the scroll_step + frame_step dispatch pair with ONE
+    program, letting XLA overlap archive I/O with the frame's early passes and
+    saving a link round trip.  The target canvas origin rides pose_i row 1."""
+    from ..map_state import _do_scroll
+
+    state = _do_scroll(state, pose_i[1], cfg, compact_rows=compact_rows,
+                       compact_cols=compact_cols)
+    pvt, origin_blk, off = pose_i[0], pose_i[1], pose_i[2]
+    kw = {}
+    if fuse_raycast:
+        rot, origin = pose_f[:3], pose_f[3]
+        inst_type = jnp.zeros(cfg.local_size, jnp.int8)
+        ray_count = jnp.zeros(cfg.local_size, jnp.int32)
+        kw = dict(points=points @ rot.T + origin, pts_valid=pts_valid,
+                  sensor_origin=origin)
+    return merge_frame_impl(
+        state, inst_type, ray_count, pvt, origin_blk, off,
+        fence_ll, fence_ur, fence_active, fence_n,
+        cfg=cfg, input_pointcloud=input_pointcloud, mesh=mesh,
+        do_scroll=False, use_fence=use_fence, fuse_raycast=fuse_raycast, **kw)
+
+
 @partial(jax.jit, static_argnames=("cfg", "compact_rows", "compact_cols"),
          donate_argnums=(0,))
 def scroll_step(state: MapState, new_origin_blk, *, cfg: MapConfig,

@@ -1,4 +1,4 @@
-"""A/B micro-bench: batch_edt variants (phase-1 pre-transposed layout on/off).
+"""A/B micro-bench: phase-2 lane ordering in batch_edt (zmajor on/off).
 
 Times the full EDT (pallas envelope) on the real TPU by chaining K
 dispatches with a data dependency and doing ONE readback, per the repo
@@ -32,11 +32,11 @@ def make_occ(shape, zlo, zhi, frac, seed):
     return occ
 
 
-def time_variant(glb, max_width, **kw):
+def time_variant(glb, max_width, zmajor):
     @jax.jit
     def chain(g):
         def body(g, _):
-            r = batch_edt(g, max_width=max_width, **kw)
+            r = batch_edt(g, max_width=max_width, zmajor=zmajor)
             # data dependency: xor a value derived from the result back in
             g2 = (g + (r["dist_sq"][0, 0, 0] % 1).astype(g.dtype)).astype(g.dtype)
             return g2, r["dist_sq"][0, 0, 0]
@@ -65,13 +65,13 @@ def main():
         glb = jnp.asarray(np.where(occ, 2, 0).astype(np.int8))  # VOX_OCCUPIED=2
         mw = sum(shape)
         # interleave orders to cancel slow throttle drift
-        a1 = time_variant(glb, mw, p1_premajor=False)
-        b1 = time_variant(glb, mw, p1_premajor=True)
-        a2 = time_variant(glb, mw, p1_premajor=False)
-        b2 = time_variant(glb, mw, p1_premajor=True)
+        a1 = time_variant(glb, mw, zmajor=False)
+        b1 = time_variant(glb, mw, zmajor=True)
+        a2 = time_variant(glb, mw, zmajor=False)
+        b2 = time_variant(glb, mw, zmajor=True)
         a, b = min(a1, a2), min(b1, b2)
-        print(f"{name}: legacy-p1 {a:.2f} ms  premajor-p1 {b:.2f} ms  "
-              f"({(a - b) / a * 100:+.1f}% premajor win)")
+        print(f"{name}: ymajor {a:.2f} ms  zmajor {b:.2f} ms  "
+              f"({(a - b) / a * 100:+.1f}% zmajor win)")
 
 
 if __name__ == "__main__":

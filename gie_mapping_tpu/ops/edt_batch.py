@@ -37,23 +37,20 @@ from ..utils.constants import EMPTY_VALUE, INVALID_COC, VOX_OCCUPIED
 _BIG = jnp.int32(1 << 28)  # "infinite" squared cost; safe from int32 overflow
 
 
-def _phase1_along_y(occ, max_width, axis: int = 1):
-    """1-D distance-to-nearest-occupied along `axis`, with nearest index.
+def _phase1_along_y(occ, max_width):
+    """1-D distance-to-nearest-occupied along axis 1, with nearest index.
 
     Returns (g1, coc_y, valid): g1 int32 in [0, max_width], coc_y int32.
     Reference: EDTphase1 (local_edt_core.h:14-82); the tie at equal forward /
     backward distance resolves to the forward (lower-y) obstacle exactly as
     the reference's strict `<` comparison does (local_edt_core.h:69).
-    The scan axis is a parameter so the z-major caller can run the pass on a
-    pre-transposed (1-byte) occupancy array and birth the (4-byte) g/payload
-    outputs directly in lane-major layout — two int32 canvas transposes
-    replaced by one int8 transpose.
     """
-    y_idx = jax.lax.broadcasted_iota(jnp.int32, occ.shape, axis)
+    X, Y, Z = occ.shape
+    y_idx = jax.lax.broadcasted_iota(jnp.int32, (X, Y, Z), 1)
     big = jnp.int32(1 << 29)
 
-    last_le = jax.lax.cummax(jnp.where(occ, y_idx, -1), axis=axis)
-    next_ge = jax.lax.cummin(jnp.where(occ, y_idx, big), axis=axis, reverse=True)
+    last_le = jax.lax.cummax(jnp.where(occ, y_idx, -1), axis=1)
+    next_ge = jax.lax.cummin(jnp.where(occ, y_idx, big), axis=1, reverse=True)
 
     d_fwd = jnp.where(last_le >= 0, y_idx - last_le, max_width)
     d_bwd = jnp.where(next_ge < big, next_ge - y_idx, max_width)
@@ -111,10 +108,9 @@ def _use_pallas() -> bool:
         return False
 
 
-@partial(jax.jit, static_argnames=("max_width", "chunk", "pallas", "zmajor",
-                                   "p1_premajor"))
+@partial(jax.jit, static_argnames=("max_width", "chunk", "pallas", "zmajor"))
 def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = None,
-              zmajor: bool = True, p1_premajor: bool = True):
+              zmajor: bool = True):
     """Batch local EDT over a dense grid.
 
     Args:
@@ -141,32 +137,29 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = No
     else:
         env = lambda f, payloads: lower_envelope(f, payloads=payloads, chunk=chunk)
 
-    # ---- phases 1+2: column scan along y, lower envelope along x --------
+    # ---- phase 1: along y ------------------------------------------------
+    g1, coc_y1, valid1 = _phase1_along_y(occ, max_width)
+    g1sq = jnp.where(valid1, g1 * g1, _BIG)
+
+    # ---- phase 2: lower envelope along x --------------------------------
     # With zmajor, lanes are ordered (z, y): phase-1 validity depends only on
     # (x, z), so z-major lane tiles are spatially coherent and the Pallas
-    # kernel's site-free-tile skip engages on sparse maps (depthcam-class).
-    # Phase 1 runs on the PRE-transposed 1-byte occupancy so its two 4-byte
-    # outputs (g^2 and the packed payload) are born in [X,Z,Y] lane order —
-    # the int8 transpose is the only layout pass into z-major.
+    # kernel's site-free-tile skip engages on sparse maps (depthcam-class);
+    # costs 7 canvas transposes, so it is a measured default, not free.
+    if zmajor:
+        tzy = lambda a: jnp.transpose(a, (0, 2, 1))
+    else:
+        tzy = lambda a: a
+    # Payloads ride as ONE packed int32 (coords < 2^10, valid 1 bit), so the
+    # envelope's payload-select pass runs once instead of once per payload.
+    pay2 = (coc_y1 << 1) | valid1.astype(jnp.int32)
     if zmajor and Z > 1:
-        if p1_premajor:
-            occ_t = jnp.transpose(occ, (0, 2, 1))  # [X,Z,Y]
-            g1, coc_y1, valid1 = _phase1_along_y(occ_t, max_width, axis=2)
-            g1sq = jnp.where(valid1, g1 * g1, _BIG)
-            # Payloads ride as ONE packed int32 (coords < 2^10, valid 1 bit),
-            # so the envelope's payload-select runs once, not per payload.
-            pay2 = (coc_y1 << 1) | valid1.astype(jnp.int32)
-        else:  # legacy layout kept for in-run A/B (examples/bench_edt_ab.py)
-            g1, coc_y1, valid1 = _phase1_along_y(occ, max_width)
-            g1sq = jnp.transpose(jnp.where(valid1, g1 * g1, _BIG), (0, 2, 1))
-            pay2 = jnp.transpose(
-                (coc_y1 << 1) | valid1.astype(jnp.int32), (0, 2, 1))
         # Keep the z-major [X,Z,Y] layout through the phase-2/3 boundary:
         # [X,Z,Y] -> [Z,X,Y] is ONE transposed pass per packed array instead
         # of the naive six (three tzy-backs, then per-payload moveaxes), and
         # the return to canvas layout packs (dist, coc_z, valid) into one
         # int32 so it is two passes, not three.
-        d2t, site2t, pay2t = env(g1sq, (pay2,))
+        d2t, site2t, pay2t = env(tzy(g1sq), (tzy(pay2),))
         d2m = jnp.where((pay2t & 1) > 0, d2t, _BIG)        # [X,Z,Y]
         pay3 = jnp.moveaxis((site2t << 11) | pay2t, 1, 0)  # [Z,X,Y]
         d3, coc_z3, pay3s = env(jnp.moveaxis(d2m, 1, 0), (pay3,))
@@ -181,10 +174,6 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = No
         coc_y = (pay3b >> 1) & ((1 << 10) - 1)
         valid = (packed_c & 1) > 0
     else:
-        tzy = (lambda a: jnp.transpose(a, (0, 2, 1))) if zmajor else (lambda a: a)
-        g1, coc_y1, valid1 = _phase1_along_y(occ, max_width)
-        g1sq = jnp.where(valid1, g1 * g1, _BIG)
-        pay2 = (coc_y1 << 1) | valid1.astype(jnp.int32)
         d2t, site2t, pay2t = env(tzy(g1sq), (tzy(pay2),))
         d2, coc_x2, pay2s = tzy(d2t), tzy(site2t), tzy(pay2t)
         coc_y2 = pay2s >> 1

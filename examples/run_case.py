@@ -100,6 +100,11 @@ def main():
     ap.add_argument("--log", type=str, default=None)
     ap.add_argument("--save", type=str, default=None, help="checkpoint path")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--staged", action="store_true",
+                    help="pre-upload sensor payloads to the device before the "
+                         "measured loop (engine time, not link time: a "
+                         "deployment's sensor DMA is local GB/s, this "
+                         "zero-egress relay is ~30 MB/s)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -110,27 +115,59 @@ def main():
     cfg = load_config(args.case)
     if args.profile:
         cfg = cfg.replace(profile_loc_rms=True)
+    if args.staged:
+        # engine-time mode (bench.py methodology): visualization streaming is
+        # a sync readback per vis_interval — seconds over this 30 MB/s relay,
+        # microseconds for a local deployment — so it is excluded here
+        cfg = cfg.replace(display_glb_edt=False, display_glb_ogm=False)
     mapper = VolumetricMapper(cfg, log_path=args.log)
 
     # materialise frames first: dataset simulation / replay decode is not
     # engine time
     src = list(replay_frames(args.replay) if args.replay
                else synthetic_frames(cfg, args.frames))
+    if args.staged:
+        import jax.numpy as jnp
+
+        def _stage(kind, payload):
+            if kind == "pointcloud":
+                return mapper.stage_pointcloud(payload)
+            arrs = tuple(jnp.asarray(np.asarray(p, np.float32))
+                         if isinstance(p, np.ndarray) else p for p in payload)
+            jnp.asarray(arrs[0]).block_until_ready()
+            return arrs
+
+        src = [(proj, (kind, _stage(kind, payload)))
+               for proj, (kind, payload) in src]
+    warm = src[:4] if args.staged and len(src) > 5 else []
+    src = src[len(warm):]
+
+    def dispatch(proj, kind, payload):
+        if kind == "pointcloud":
+            return (mapper.process_pointcloud(proj, *payload) if args.staged
+                    else mapper.process_pointcloud(proj, payload))
+        if kind == "scan":
+            return mapper.process_scan2d(proj, *payload)
+        if kind == "depth":
+            return mapper.process_depth(proj, *payload)
+        if kind == "multiscan":
+            return mapper.process_multiscan(proj, *payload)
+        raise KeyError(kind)
+
+    for proj, (kind, payload) in warm:  # compile frame+scroll programs
+        out = dispatch(proj, kind, payload)
+    if warm:
+        out.fetch()
     t0 = time.perf_counter()
     n = 0
     for proj, (kind, payload) in src:
-        if kind == "pointcloud":
-            out = mapper.process_pointcloud(proj, payload)
-        elif kind == "scan":
-            out = mapper.process_scan2d(proj, *payload)
-        elif kind == "depth":
-            out = mapper.process_depth(proj, *payload)
-        elif kind == "multiscan":
-            out = mapper.process_multiscan(proj, *payload)
+        out = dispatch(proj, kind, payload)
         n += 1
     out.fetch()
     wall = time.perf_counter() - t0
 
+    if mapper.mirror is not None:
+        mapper.flush_stream()  # ingest in-flight streamed rows before reporting
     if args.save:
         mapper.save(args.save)
 

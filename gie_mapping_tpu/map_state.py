@@ -19,6 +19,7 @@ lockset.h) and of the GlbHashMap manager
 from __future__ import annotations
 
 import dataclasses
+import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -348,6 +349,68 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
         a_packed=a_packed,
         arch_dropped=state.arch_dropped + dropped,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "k_cols", "use_pallas"))
+def stream_extract(state: MapState, changed_blk, carry_blk, *, cfg: MapConfig,
+                   k_cols: int, use_pallas: bool | None = None):
+    """Compact changed voxel blocks into archive-format rows for D2H
+    streaming (streamPipeline equivalent, glb_hash_map.cu:209-247).
+
+    The reference issues one small cudaMemcpy per changed block after a
+    thrust sort/unique; here the changed set is compacted to (x,y)
+    block-COLUMN granularity (the Pallas archive-I/O unit — per-row XLA
+    gathers pay a multi-ms per-index floor on this part) and extracted as
+    packed uint32 rows in ONE kernel.  The host starts an async copy and
+    ingests the rows on the NEXT visualization tick, so the transfer rides
+    under subsequent frame dispatches instead of stalling the pipeline.
+
+    Args:
+      changed_blk: bool [bx,by,bz] this frame's changed blocks (& present).
+      carry_blk:   bool [bx,by,bz] blocks left over from previous ticks
+                   (k_cols cap); OR-ed in, returned unserved.
+      k_cols: static max block-columns per tick.
+
+    Returns (col_ids [k], col_valid [k], rows [k*cbz,512,3] u32,
+             blk_mask [k,cbz] bool, leftover_blk [bx,by,bz] bool).
+    """
+    cb = cfg.canvas_blocks
+    cbx, cby, cbz = cb
+    ncols = cbx * cby
+    want = changed_blk | carry_blk
+    col_changed = want.any(axis=2).reshape(-1)
+    ids, valid = _compact_ids(col_changed, k_cols)
+    # served = the first k_cols changed columns in rank order — exactly the
+    # _compact_ids selection, recomputed via cumsum (no scatter)
+    served = col_changed & (jnp.cumsum(col_changed.astype(jnp.int32)) <= k_cols)
+    leftover = want & ~served.reshape(cbx, cby, 1)
+
+    packed = pack_voxels(state.occ_val, state.vox_type, state.dist_sq, state.coc)
+    if use_pallas is None:
+        from .ops.edt_batch import _use_pallas
+        use_pallas = _use_pallas()
+    if use_pallas:
+        from .ops.pallas.blockrows import gather_block_rows
+
+        rows = gather_block_rows(packed, ids, cb)
+    else:
+        bv = _dense_to_blocks(packed, cb).reshape(ncols, cbz, VB_SIZE_, 3)
+        rows = bv[ids].reshape(k_cols * cbz, VB_SIZE_, 3)
+    blk_mask = want.reshape(ncols, cbz)[ids] & valid[:, None]
+    return ids, valid, rows, blk_mask, leftover
+
+
+def np_unpack_voxels(rows: np.ndarray):
+    """Host-side unpack of packed uint32 [...,3] rows (numpy mirror of
+    unpack_voxels, for the streaming consumer)."""
+    w0 = rows[..., 0]
+    dist = (w0 & 0xFFFFF).astype(np.int32)
+    occ = ((w0 >> 20) & 0xFF).astype(np.uint8)
+    typ = ((w0 >> 28) & 0xF).astype(np.int8)
+    cx = (rows[..., 1] & 0xFFFF).astype(np.uint16).view(np.int16)
+    cy = ((rows[..., 1] >> 16) & 0xFFFF).astype(np.uint16).view(np.int16)
+    cz = (rows[..., 2] & 0xFFFF).astype(np.uint16).view(np.int16)
+    return occ, typ, dist, np.stack([cx, cy, cz], axis=-1)
 
 
 def canvas_geometry(cfg: MapConfig, pvt: np.ndarray):

@@ -18,6 +18,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..map_state import MapState, canvas_geometry
+
+
+@jax.jit
+def _shift_block_mask(m, shift):
+    """Move a [bx,by,bz] block mask with a canvas scroll: new index i held
+    the block at old index i + shift; exposed entries become False."""
+    bx, by, bz = m.shape
+    src = [jax.lax.broadcasted_iota(jnp.int32, m.shape, a) + shift[a]
+           for a in range(3)]
+    valid = ((src[0] >= 0) & (src[0] < bx) & (src[1] >= 0) & (src[1] < by)
+             & (src[2] >= 0) & (src[2] < bz))
+    rolled = jnp.roll(m, (-shift[0], -shift[1], -shift[2]), axis=(0, 1, 2))
+    return rolled & valid
 from ..ops import raycast as rc
 from ..ops import scan_sensors as ss
 from ..utils import geometry as geo
@@ -284,6 +297,14 @@ class VolumetricMapper:
         # the scroll fused into the frame program (one dispatch, not two)
         if self._origin is None or not np.array_equal(self._origin, origin_blk):
             rows, cols = self._scroll_compact_rows(origin_blk)
+            if getattr(self, "_stream_carry", None) is not None:
+                # un-served streamed blocks are indexed in canvas coords:
+                # shift the carry mask with the canvas (exposed region: False)
+                shift = (np.asarray(origin_blk)
+                         - (self._origin if self._origin is not None
+                            else np.asarray(self.state.origin_blk)))
+                self._stream_carry = _shift_block_mask(
+                    self._stream_carry, jnp.asarray(shift, jnp.int32))
             self._origin = np.asarray(origin_blk).copy()
             self.state, out = scroll_frame_step(
                 self.state, pose_i, pose_f, *fence, cfg=cfg,
@@ -379,15 +400,48 @@ class VolumetricMapper:
 
     def _stream(self, out, origin_blk):
         """Changed-block device->host streaming into the CPU mirror
-        (streamPipeline, glb_hash_map.cu:209-247)."""
-        from ..runtime.host_mirror import HostMirror
+        (streamPipeline, glb_hash_map.cu:209-247).
+
+        Two-phase async: this tick DISPATCHES the on-device compaction
+        (map_state.stream_extract) and starts the host copy; the rows are
+        ingested on the NEXT tick (or flush_stream), so the D2H rides under
+        subsequent frame dispatches — the reference's separate-stream
+        streamD2H, without ever stalling the compute queue.  Columns beyond
+        the per-tick cap carry over in a device-resident leftover mask."""
+        from ..map_state import stream_extract
 
         if self.mirror is None:
+            from ..runtime.host_mirror import HostMirror
+
             self.mirror = HostMirror(self.cfg)
-        self.mirror.ingest(
-            np.asarray(out["changed_blk"]),
-            origin_blk,
-            self.state,
+        self.flush_stream()
+        cb = self.cfg.canvas_blocks
+        if getattr(self, "_stream_carry", None) is None:
+            self._stream_carry = jnp.zeros(tuple(cb), jnp.bool_)
+        k_cols = min(cb[0] * cb[1], 64)
+        ids, valid, rows, blk_mask, leftover = stream_extract(
+            self.state, out["changed_blk"], self._stream_carry,
+            cfg=self.cfg, k_cols=k_cols,
+        )
+        self._stream_carry = leftover
+        for a in (ids, valid, rows, blk_mask):
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        self._stream_pending = (ids, valid, rows, blk_mask,
+                                np.asarray(origin_blk).copy())
+
+    def flush_stream(self):
+        """Ingest any in-flight streamed rows into the host mirror."""
+        p = getattr(self, "_stream_pending", None)
+        if p is None:
+            return 0
+        self._stream_pending = None
+        ids, valid, rows, blk_mask, origin_blk = p
+        return self.mirror.ingest_rows(
+            np.asarray(ids), np.asarray(valid), np.asarray(rows),
+            np.asarray(blk_mask), origin_blk,
         )
 
     # -- the four map makers -------------------------------------------

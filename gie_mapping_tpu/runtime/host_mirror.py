@@ -44,6 +44,34 @@ class HostMirror:
             self.blocks[key] = {name: fields[name][i] for name in fields}
         return len(keys)
 
+    def ingest_rows(self, col_ids, col_valid, rows, blk_mask, origin_blk):
+        """Merge pre-extracted packed block-column rows (map_state.
+        stream_extract) — the async streaming consumer: all device work and
+        the D2H copy happened earlier, this is pure host bookkeeping."""
+        from ..map_state import np_unpack_voxels
+
+        cb = self.cfg.canvas_blocks
+        cbz = cb[2]
+        occ, typ, dist, coc = np_unpack_voxels(np.asarray(rows))
+        W = 8
+        n = 0
+        origin = np.asarray(origin_blk)
+        for k in np.flatnonzero(np.asarray(col_valid)):
+            col = int(col_ids[k])
+            bx, by = col // cb[1], col % cb[1]
+            for j in np.flatnonzero(np.asarray(blk_mask[k])):
+                r = k * cbz + int(j)
+                key = (int(origin[0] + bx), int(origin[1] + by),
+                       int(origin[2] + j))
+                self.blocks[key] = {
+                    "occ_val": occ[r].reshape(W, W, W),
+                    "vox_type": typ[r].reshape(W, W, W),
+                    "dist_sq": dist[r].reshape(W, W, W),
+                    "coc": coc[r].reshape(W, W, W, 3),
+                }
+                n += 1
+        return n
+
     def ingest_archive(self, state: MapState):
         """Bulk-import every archived block (checkpoint/shutdown path)."""
         from ..map_state import unpack_voxels

@@ -118,3 +118,74 @@ def test_host_mirror_streaming():
     assert len(cloud) > 0
     pos, dist = mapper.mirror.edt_cloud(cfg.voxel_width)
     assert len(pos) == len(dist) > 0
+
+
+def test_async_stream_matches_sync_oracle():
+    """The two-phase async streaming path (stream_extract + delayed
+    ingest_rows) must produce byte-identical mirror contents to the legacy
+    synchronous HostMirror.ingest driven with each frame's state."""
+    from gie_mapping_tpu.runtime.host_mirror import HostMirror
+
+    cfg = _small(display_glb_edt=True, display_glb_ogm=True)
+    world = BoxWorld.corridor(seed=5, n_pillars=4, extent=4.0)
+    mapper = VolumetricMapper(cfg)
+    oracle = HostMirror(cfg)
+    for proj in circular_trajectory(5, radius=1.6):
+        r, tmin, tinc = world.scan_2d(proj, n_beams=180)
+        out = mapper.process_scan2d(proj, r, tmin, tinc)
+        oracle.ingest(np.asarray(out.device("changed_blk")), mapper._origin,
+                      mapper.state)
+    mapper.flush_stream()
+    assert getattr(mapper, "_stream_pending", None) is None
+    assert set(mapper.mirror.blocks) == set(oracle.blocks)
+    for key, blk in oracle.blocks.items():
+        got = mapper.mirror.blocks[key]
+        for f in ("occ_val", "vox_type", "dist_sq", "coc"):
+            np.testing.assert_array_equal(got[f], blk[f], err_msg=f"{key}/{f}")
+
+
+def test_stream_extract_carry_overflow():
+    """Columns beyond the per-tick cap carry over and are served next tick."""
+    import jax.numpy as jnp
+
+    from gie_mapping_tpu.map_state import MapState, stream_extract
+
+    cfg = _small()
+    state = MapState.create(cfg)
+    cb = cfg.canvas_blocks
+    changed = np.zeros(cb, bool)
+    changed[:, :, 0] = True  # every column changed
+    ncols = cb[0] * cb[1]
+    k = max(2, ncols // 3)
+    carry = jnp.zeros(cb, bool)
+    served_cols = set()
+    changed_dev = jnp.asarray(changed)
+    for tick in range(4):
+        ids, valid, rows, blk_mask, leftover = stream_extract(
+            state, changed_dev, carry, cfg=cfg, k_cols=k)
+        ids, valid = np.asarray(ids), np.asarray(valid)
+        served_cols.update(ids[valid].tolist())
+        carry = leftover
+        changed_dev = jnp.zeros(cb, bool)  # only the first tick has changes
+        if not np.asarray(leftover).any():
+            break
+    assert np.asarray(carry).any() == False  # noqa: E712
+    assert served_cols == set(range(ncols))
+
+
+def test_shift_block_mask():
+    import jax.numpy as jnp
+
+    from gie_mapping_tpu.models.mapper import _shift_block_mask
+
+    m = np.zeros((4, 3, 2), bool)
+    m[2, 1, 0] = True
+    out = np.asarray(_shift_block_mask(jnp.asarray(m),
+                                       jnp.asarray([1, 0, 0], np.int32)))
+    exp = np.zeros_like(m)
+    exp[1, 1, 0] = True  # canvas origin moved +1x: block slides to index-1
+    np.testing.assert_array_equal(out, exp)
+    # shifting out of range drops the bit
+    out2 = np.asarray(_shift_block_mask(jnp.asarray(m),
+                                        jnp.asarray([3, 0, 0], np.int32)))
+    assert not out2.any()

@@ -21,5 +21,6 @@ def test_ply_export(tmp_path):
     header = open(tmp_path / "f0_edt.ply").read(200)
     assert header.startswith("ply") and "property float distance" in header
 
+    mapper.flush_stream()  # streaming is async two-phase; ingest before export
     g1, g2 = export_global(mapper.mirror, cfg.voxel_width, str(tmp_path / "f0"))
     assert g1 > 0 and g2 > 0

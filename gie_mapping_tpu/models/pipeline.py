@@ -195,7 +195,15 @@ def merge_frame_impl(
         # both cheaper than iterating the wavefront fixed point and more
         # accurate (true Voronoi; disappeared obstacles — the raise wave —
         # fall out automatically because the site set is the live occupancy).
-        full = batch_edt(canvas_type, max_width=sum(canvas_size))
+        from ..ops.edt_batch import batch_edt_sharded, sharded_edt_ok
+
+        if sharded_edt_ok(canvas_size, mesh):
+            # shard_map + all_to_all phase boundaries: per-device Pallas
+            # envelopes on local shards (GSPMD would replicate the kernel)
+            full = batch_edt_sharded(canvas_type, max_width=sum(canvas_size),
+                                     mesh=mesh)
+        else:
+            full = batch_edt(canvas_type, max_width=sum(canvas_size))
         new_dist = jnp.where(full["valid"], full["dist_sq"], EMPTY_VALUE)
         new_coc = jnp.where(
             full["valid"][..., None],

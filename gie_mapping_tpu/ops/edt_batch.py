@@ -108,6 +108,35 @@ def _use_pallas() -> bool:
         return False
 
 
+def _edt_zmajor_core(occ, env, max_width: int, z_global: int, reshard1, reshard2):
+    """Phases 1-3 of the z-major EDT with pluggable phase-boundary reshards.
+
+    reshard1: [Xl,Y,Z]-layout phase-1 output -> phase-2 [X,Zl,Y] layout
+              (single device: transpose; sharded: transpose + all_to_all).
+    reshard2: phase-2 [X,Zl,Y] output -> phase-3 [Z,Xl,Y] layout.
+    `l` suffixes mark the axis a mesh may shard; z_global is the full Z
+    extent (site axis of phase 3) for the coc_z bit budget.
+
+    Returns (packed_c [Xl,Y,Z], pay3b [Xl,Y,Z], zbits): packed_c holds
+    (dist << zbits+1 | coc_z << 1 | valid), pay3b (coc_x << 11 | coc_y << 1
+    | valid)."""
+    g1, coc_y1, valid1 = _phase1_along_y(occ, max_width)
+    g1sq = jnp.where(valid1, g1 * g1, _BIG)
+    # Payloads ride as ONE packed int32 (coords < 2^10, valid 1 bit), so the
+    # envelope's payload-select pass runs once instead of once per payload.
+    pay2 = (coc_y1 << 1) | valid1.astype(jnp.int32)
+    d2t, site2t, pay2t = env(reshard1(g1sq), (reshard1(pay2),))
+    d2m = jnp.where((pay2t & 1) > 0, d2t, _BIG)        # [X,Zl,Y]
+    pay3 = (site2t << 11) | pay2t
+    d3, coc_z3, pay3s = env(reshard2(d2m), (reshard2(pay3),))
+    zbits = (z_global - 1).bit_length() + 1
+    d3c = jnp.minimum(d3, (1 << (30 - zbits)) - 1)
+    packed_c = jnp.moveaxis(
+        (d3c << (zbits + 1)) | (coc_z3 << 1) | (pay3s & 1), 0, 2)
+    pay3b = jnp.moveaxis(pay3s, 0, 2)                  # [Xl,Y,Z]
+    return packed_c, pay3b, zbits
+
+
 @partial(jax.jit, static_argnames=("max_width", "chunk", "pallas", "zmajor"))
 def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = None,
               zmajor: bool = True):
@@ -137,43 +166,28 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = No
     else:
         env = lambda f, payloads: lower_envelope(f, payloads=payloads, chunk=chunk)
 
-    # ---- phase 1: along y ------------------------------------------------
-    g1, coc_y1, valid1 = _phase1_along_y(occ, max_width)
-    g1sq = jnp.where(valid1, g1 * g1, _BIG)
-
-    # ---- phase 2: lower envelope along x --------------------------------
-    # With zmajor, lanes are ordered (z, y): phase-1 validity depends only on
-    # (x, z), so z-major lane tiles are spatially coherent and the Pallas
-    # kernel's site-free-tile skip engages on sparse maps (depthcam-class);
-    # costs 7 canvas transposes, so it is a measured default, not free.
-    if zmajor:
-        tzy = lambda a: jnp.transpose(a, (0, 2, 1))
-    else:
-        tzy = lambda a: a
-    # Payloads ride as ONE packed int32 (coords < 2^10, valid 1 bit), so the
-    # envelope's payload-select pass runs once instead of once per payload.
-    pay2 = (coc_y1 << 1) | valid1.astype(jnp.int32)
+    # ---- phases: z-major lane order (z, y) ------------------------------
+    # Phase-1 validity depends only on (x, z), so z-major lane tiles are
+    # spatially coherent and the Pallas kernel's site-free-tile skip engages
+    # on sparse maps (depthcam-class).  The z-major [X,Z,Y] layout is kept
+    # through the phase-2/3 boundary: [X,Z,Y] -> [Z,X,Y] is ONE transposed
+    # pass per packed array, and the return to canvas layout packs
+    # (dist, coc_z, valid) into one int32 so it is two passes, not three.
     if zmajor and Z > 1:
-        # Keep the z-major [X,Z,Y] layout through the phase-2/3 boundary:
-        # [X,Z,Y] -> [Z,X,Y] is ONE transposed pass per packed array instead
-        # of the naive six (three tzy-backs, then per-payload moveaxes), and
-        # the return to canvas layout packs (dist, coc_z, valid) into one
-        # int32 so it is two passes, not three.
-        d2t, site2t, pay2t = env(tzy(g1sq), (tzy(pay2),))
-        d2m = jnp.where((pay2t & 1) > 0, d2t, _BIG)        # [X,Z,Y]
-        pay3 = jnp.moveaxis((site2t << 11) | pay2t, 1, 0)  # [Z,X,Y]
-        d3, coc_z3, pay3s = env(jnp.moveaxis(d2m, 1, 0), (pay3,))
-        zbits = (Z - 1).bit_length() + 1
-        d3c = jnp.minimum(d3, (1 << (30 - zbits)) - 1)
-        packed_c = jnp.moveaxis(
-            (d3c << (zbits + 1)) | (coc_z3 << 1) | (pay3s & 1), 0, 2)
-        pay3b = jnp.moveaxis(pay3s, 0, 2)                  # [X,Y,Z]
+        tzy = lambda a: jnp.transpose(a, (0, 2, 1))
+        packed_c, pay3b, zbits = _edt_zmajor_core(
+            occ, env, max_width, Z,
+            reshard1=tzy, reshard2=lambda a: jnp.moveaxis(a, 1, 0))
         dist_sq = packed_c >> (zbits + 1)
         coc_z = (packed_c >> 1) & ((1 << zbits) - 1)
         coc_x = pay3b >> 11
         coc_y = (pay3b >> 1) & ((1 << 10) - 1)
         valid = (packed_c & 1) > 0
     else:
+        tzy = (lambda a: jnp.transpose(a, (0, 2, 1))) if zmajor else (lambda a: a)
+        g1, coc_y1, valid1 = _phase1_along_y(occ, max_width)
+        g1sq = jnp.where(valid1, g1 * g1, _BIG)
+        pay2 = (coc_y1 << 1) | valid1.astype(jnp.int32)
         d2t, site2t, pay2t = env(tzy(g1sq), (tzy(pay2),))
         d2, coc_x2, pay2s = tzy(d2t), tzy(site2t), tzy(pay2t)
         coc_y2 = pay2s >> 1
@@ -199,6 +213,80 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = No
             coc_y = (pay3b >> 1) & ((1 << 10) - 1)
             valid = (pay3b & 1) > 0
 
+    dist_sq = jnp.where(valid, dist_sq, EMPTY_VALUE).astype(jnp.int32)
+    inv = jnp.int32(INVALID_COC)
+    coc = jnp.stack(
+        [
+            jnp.where(valid, coc_x, inv),
+            jnp.where(valid, coc_y, inv),
+            jnp.where(valid, coc_z, inv),
+        ],
+        axis=-1,
+    )
+    return {"dist_sq": dist_sq, "coc": coc, "valid": valid}
+
+
+def sharded_edt_ok(shape, mesh) -> bool:
+    """Whether batch_edt_sharded supports this (shape, mesh)."""
+    if mesh is None:
+        return False
+    X, Y, Z = shape
+    n = mesh.size
+    return n > 1 and Z > 1 and X % n == 0 and Z % n == 0
+
+
+@partial(jax.jit, static_argnames=("max_width", "chunk", "pallas", "mesh"))
+def batch_edt_sharded(glb_type, max_width: int, mesh, chunk: int = 8,
+                      pallas: bool | None = None):
+    """batch_edt over a canvas sharded along x on a 1-D device mesh.
+
+    Distributed separable-transform layout (the classic sharded-FFT recipe,
+    SURVEY.md §2 P9): every phase scans an axis that is locally complete, and
+    the two phase boundaries are explicit `all_to_all` reshards over ICI —
+    phase 1 (scan along y) runs on the x-sharded canvas, phase 2 (envelope
+    along x) on a z-sharded layout, phase 3 (envelope along z) on an
+    x-sharded layout again, which is exactly the canvas sharding the merge
+    pipeline needs downstream (no final collective).  Per-device compute is
+    the SAME Pallas envelope kernel as the single-chip path (shard_map hands
+    it local shards — under plain GSPMD a pallas_call would be replicated),
+    and results are bit-identical to batch_edt (tests/test_multichip.py).
+
+    Requires X and Z divisible by mesh.size (sharded_edt_ok); callers fall
+    back to batch_edt otherwise.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import MESH_AXIS
+
+    occ = glb_type == VOX_OCCUPIED
+    X, Y, Z = occ.shape
+    if pallas is None:
+        pallas = _use_pallas()
+    if pallas:
+        from .pallas.envelope import envelope_pallas
+
+        env = lambda f, payloads: envelope_pallas(f, payloads)
+    else:
+        env = lambda f, payloads: lower_envelope(f, payloads=payloads, chunk=chunk)
+
+    def body(occ_l):
+        a2a = lambda a: jax.lax.all_to_all(a, MESH_AXIS, 1, 0, tiled=True)
+        packed_c, pay3b, zbits = _edt_zmajor_core(
+            occ_l, env, max_width, Z,
+            reshard1=lambda a: a2a(jnp.transpose(a, (0, 2, 1))),
+            reshard2=lambda a: a2a(jnp.moveaxis(a, 1, 0)))
+        return packed_c, pay3b
+
+    packed_c, pay3b = jax.shard_map(
+        body, mesh=mesh, in_specs=P(MESH_AXIS), out_specs=P(MESH_AXIS),
+    )(occ)
+
+    zbits = (Z - 1).bit_length() + 1
+    dist_sq = packed_c >> (zbits + 1)
+    coc_z = (packed_c >> 1) & ((1 << zbits) - 1)
+    coc_x = pay3b >> 11
+    coc_y = (pay3b >> 1) & ((1 << 10) - 1)
+    valid = (packed_c & 1) > 0
     dist_sq = jnp.where(valid, dist_sq, EMPTY_VALUE).astype(jnp.int32)
     inv = jnp.int32(INVALID_COC)
     coc = jnp.stack(

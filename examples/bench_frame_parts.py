@@ -179,7 +179,7 @@ def main():
     nb, ncols = int(cb.prod()), int(cb[0] * cb[1])
     bound = nb - int((cb - [1, 0, 0]).clip(0).prod())
     col_bound = ncols - int((cb[:2] - [1, 0]).clip(0).prod())
-    cols = next((s for s in (64,) if col_bound <= s <= ncols), ncols)
+    cols = next((s for s in (32, 64) if col_bound <= s <= ncols), ncols)
     rows = next((s for s in (256, 1024) if bound <= s <= nb), None)
 
     def scroll_step_fn(st):

@@ -267,13 +267,18 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
         # DMA the moving (x,y) block-columns straight out of the dense
         # canvas — no full-canvas block-major transpose (bench_scroll_bisect;
         # host guarantees the exiting-column bound fits compact_cols)
-        from .ops.pallas.blockrows import gather_block_rows
+        from .ops.pallas.blockrows import gather_block_rows, scatter_archive_rows
         cids, cidv = _compact_ids(
             jnp.any(exits, axis=2).reshape(-1), compact_cols)
         crows = gather_block_rows(packed, cids, cb)
         bidx = cids[:, None] * cb[2] + jz[None, :]
-        cslot = jnp.where(cidv[:, None], slot[bidx], B)
-        a_packed = state.a_packed.at[cslot.reshape(-1)].set(crows, mode="drop")
+        cslot = jnp.where(cidv[:, None], slot[bidx], B).reshape(-1)
+        # archive side also via Pallas row DMA: `.at[ids].set` row scatters
+        # pay a per-index floor on this part (see blockrows docstring)
+        aval = cslot < B
+        a_packed = scatter_archive_rows(
+            state.a_packed, crows, jnp.where(aval, cslot, 0),
+            aval.astype(jnp.int32))
     else:
         # ordinary scrolls move out only thin slabs: touch exactly those rows
         # (host guarantees the exiting-block bound fits compact_rows)
@@ -318,7 +323,8 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
         # invalid entries park at a non-entering column (exists: entering
         # columns can only cover the canvas when every entry is valid) and
         # rewrite it unchanged
-        from .ops.pallas.blockrows import scatter_block_rows
+        from .ops.pallas.blockrows import (gather_archive_rows,
+                                           scatter_block_rows)
         enter_cols = jnp.any(entering, axis=2).reshape(-1)
         cids2, cidv2 = _compact_ids(enter_cols, compact_cols)
         park = jnp.argmin(enter_cols).astype(jnp.int32)
@@ -326,7 +332,7 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
         bidx2 = cids2[:, None] * cb[2] + jz[None, :]
         valid_b = entering.reshape(-1)[bidx2] & cidv2[:, None]
         slot_b = jnp.where(valid_b, gslot[bidx2], 0)
-        grows = a_packed[slot_b.reshape(-1)]
+        grows = gather_archive_rows(a_packed, slot_b.reshape(-1))
         packed = scatter_block_rows(
             packed, grows, colv, valid_b.astype(jnp.int32).reshape(-1), cb)
     else:

@@ -18,6 +18,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..map_state import MapState, canvas_geometry
+from ..ops import raycast as rc
+from ..ops import scan_sensors as ss
+from ..utils import geometry as geo
+from ..utils.config import MapConfig, DEFAULT_FENCE_LL, DEFAULT_FENCE_UR
+from ..utils.constants import VB_WIDTH, VOX_UNKNOWN
+from .pipeline import frame_step, merge_frame, scroll_frame_step, scroll_step
 
 
 @jax.jit
@@ -31,12 +37,6 @@ def _shift_block_mask(m, shift):
              & (src[2] >= 0) & (src[2] < bz))
     rolled = jnp.roll(m, (-shift[0], -shift[1], -shift[2]), axis=(0, 1, 2))
     return rolled & valid
-from ..ops import raycast as rc
-from ..ops import scan_sensors as ss
-from ..utils import geometry as geo
-from ..utils.config import MapConfig, DEFAULT_FENCE_LL, DEFAULT_FENCE_UR
-from ..utils.constants import VB_WIDTH, VOX_UNKNOWN
-from .pipeline import frame_step, merge_frame, scroll_frame_step, scroll_step
 
 
 class FrameOutput:
@@ -215,7 +215,7 @@ class VolumetricMapper:
             col_bound = ncols
         else:
             col_bound = ncols - int(np.maximum(cb[:2] - shift[:2], 0).prod())
-        cols = next((s for s in (64,) if col_bound <= s <= ncols), ncols)
+        cols = next((s for s in (32, 64) if col_bound <= s <= ncols), ncols)
         for s in (256, 1024):
             if bound <= s <= nb:
                 return s, cols

@@ -142,3 +142,102 @@ def scatter_block_rows(packed, rows, col_ids, valid, canvas_blocks,
         interpret=interpret,
     )(col_ids, valid, rv, cv)
     return out.reshape(X, Y, Z, 3)
+
+
+# ---------------------------------------------------------------------------
+# archive-row gather/scatter: rows of a_packed [B, 512, 3] by dynamic index.
+# A whole row is 1536 contiguous uint32 = 12 sublanes x 128 lanes, so unlike
+# the canvas's 24-lane block slices it IS a legal Mosaic tile — the remaining
+# XLA `.at[ids]` row ops on the archive (per-index multi-ms floor, see module
+# docstring) become one grid step + 6 KB DMA per row.
+# ---------------------------------------------------------------------------
+
+_ROW_SUB = 12   # 512*3 / 128
+
+
+def _arow_gather_kernel(ids_ref, src_ref, out_ref):
+    out_ref[...] = src_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_archive_rows(a_packed, ids, *, interpret: bool = False):
+    """a_packed[ids] for uint32 [B,512,3] rows, int32 ids [K] (in-range;
+    callers park invalid entries at any row and mask the result)."""
+    B = a_packed.shape[0]
+    K = ids.shape[0]
+    av = a_packed.reshape(B, _ROW_SUB, 128)
+    out = pl.pallas_call(
+        _arow_gather_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(K,),
+            in_specs=[pl.BlockSpec((1, _ROW_SUB, 128),
+                                   lambda i, ids_ref: (ids_ref[i], 0, 0))],
+            out_specs=pl.BlockSpec((1, _ROW_SUB, 128),
+                                   lambda i, *_: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((K, _ROW_SUB, 128), jnp.uint32),
+        interpret=interpret,
+    )(ids, av)
+    return out.reshape(K, W ** 3, 3)
+
+
+def _arow_scatter_kernel(ids_ref, valid_ref, perm_ref, rows_ref, arch_ref,
+                         out_ref):
+    i = pl.program_id(0)
+
+    @pl.when(valid_ref[i] != 0)
+    def _():
+        out_ref[...] = rows_ref[...]
+
+    @pl.when(valid_ref[i] == 0)
+    def _():
+        out_ref[...] = arch_ref[...]  # parked: rewrite current content
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",),
+                   donate_argnums=(0,))
+def scatter_archive_rows(a_packed, rows, ids, valid, *,
+                         interpret: bool = False):
+    """a_packed[ids[k]] := rows[k] where valid[k], in place (donated).
+
+    Grid order runs every INVALID entry before any valid one (a small
+    key sort; the rows payload is never permuted — the kernel reads
+    rows[perm[i]] through a scalar-prefetched index map).  An invalid entry
+    re-reads its (parked) target row and writes it back unchanged; running
+    them first means every such read observes pre-call content, so the
+    parking index may be ANY in-range row — including one a later valid
+    entry overwrites.  Valid targets must be unique.
+
+    Args: a_packed u32 [B,512,3]; rows u32 [K,512,3]; ids i32 [K] in-range
+    (callers park invalid entries at any row, e.g. 0); valid i32 [K] 0/1.
+    Returns the updated [B,512,3] archive.
+    """
+    B = a_packed.shape[0]
+    K = ids.shape[0]
+    av = a_packed.reshape(B, _ROW_SUB, 128)
+    rv = rows.reshape(K, _ROW_SUB, 128)
+    arange = jnp.arange(K, dtype=jnp.int32)
+    key = valid.astype(jnp.int32) * K + arange   # invalid first, stable
+    _, ids_s, val_s, perm = jax.lax.sort(
+        (key, ids.astype(jnp.int32), valid.astype(jnp.int32), arange),
+        num_keys=1)
+    sel = lambda i, ids_ref, valid_ref, perm_ref: (ids_ref[i], 0, 0)
+    out = pl.pallas_call(
+        _arow_scatter_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(K,),
+            in_specs=[
+                pl.BlockSpec((1, _ROW_SUB, 128),
+                             lambda i, ids_ref, valid_ref, perm_ref:
+                             (perm_ref[i], 0, 0)),
+                pl.BlockSpec((1, _ROW_SUB, 128), sel),
+            ],
+            out_specs=pl.BlockSpec((1, _ROW_SUB, 128), sel),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, _ROW_SUB, 128), jnp.uint32),
+        input_output_aliases={4: 0},  # arch input (after 3 scalars + rows)
+        interpret=interpret,
+    )(ids_s, val_s, perm, rv, av)
+    return out.reshape(B, W ** 3, 3)

@@ -72,3 +72,38 @@ def test_scatter_all_invalid_is_identity():
         jnp.zeros(S, jnp.int32), jnp.zeros(S * CBZ, jnp.int32), CB,
         interpret=True)
     np.testing.assert_array_equal(np.asarray(got), packed)
+
+
+def test_gather_archive_rows_exact():
+    from gie_mapping_tpu.ops.pallas.blockrows import gather_archive_rows
+
+    rng = np.random.default_rng(7)
+    B = 17
+    a_packed = rng.integers(0, 2 ** 32, (B, 512, 3), dtype=np.uint32)
+    ids = np.array([3, 0, 16, 7, 7, 0], np.int32)
+    got = gather_archive_rows(jnp.asarray(a_packed), jnp.asarray(ids),
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), a_packed[ids])
+
+
+def test_scatter_archive_rows_exact():
+    from gie_mapping_tpu.ops.pallas.blockrows import scatter_archive_rows
+
+    rng = np.random.default_rng(8)
+    B, K = 13, 6
+    a_packed = rng.integers(0, 2 ** 32, (B, 512, 3), dtype=np.uint32)
+    rows = rng.integers(0, 2 ** 32, (K, 512, 3), dtype=np.uint32)
+    # parked entries interleaved in ANY order — park at row 4, which a
+    # valid entry also overwrites (the hard case; the kernel sorts
+    # invalid-first internally)
+    ids = np.array([9, 4, 4, 4, 0, 12], np.int32)
+    valid = np.array([1, 0, 0, 1, 1, 1], np.int32)
+
+    want = a_packed.copy()
+    for k in range(K):
+        if valid[k]:
+            want[ids[k]] = rows[k]
+    got = scatter_archive_rows(jnp.asarray(a_packed), jnp.asarray(rows),
+                               jnp.asarray(ids), jnp.asarray(valid),
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), want)

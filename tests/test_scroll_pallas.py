@@ -21,11 +21,13 @@ def interp(monkeypatch):
         return orig(*a, **k)
 
     monkeypatch.setattr(blockrows.pl, "pallas_call", patched)
-    blockrows.gather_block_rows._clear_cache()
-    blockrows.scatter_block_rows._clear_cache()
+    _fns = (blockrows.gather_block_rows, blockrows.scatter_block_rows,
+            blockrows.gather_archive_rows, blockrows.scatter_archive_rows)
+    for f in _fns:
+        f._clear_cache()
     yield
-    blockrows.gather_block_rows._clear_cache()
-    blockrows.scatter_block_rows._clear_cache()
+    for f in _fns:
+        f._clear_cache()
 
 
 def _rand_state(cfg, rng):

@@ -271,26 +271,21 @@ class VolumetricMapper:
              t_sensor0, raycast_inputs=None):
         cfg = self.cfg
         fence, fence_on = self._fence_args(pvt)
-        # pack the per-frame scalars into as few H2D transfers as possible:
-        # each small upload is a separate ~0.2-0.35 ms enqueue on remote links
-        # (examples/bench_dispatch.py), so pvt/origin/off ride one [3,3] i32
-        # array and the sensor rotation+origin one [4,3] f32 array
-        pose_h = np.empty((3, 3), np.int32)
+        # pack the per-frame scalars into ONE H2D transfer: each small upload
+        # is a separate ~0.2-0.35 ms enqueue on remote links
+        # (examples/bench_dispatch.py).  f32 [7,3]: integer pvt/origin/off
+        # rows (exact in f32), then sensor rotation rows + origin.
+        pose_h = np.zeros((7, 3), np.float32)
         pose_h[0], pose_h[1], pose_h[2] = pvt, origin_blk, off
-        pose_i = jnp.asarray(pose_h)
         if raycast_inputs is None:
-            if getattr(self, "_zero_pose_f", None) is None:
-                self._zero_pose_f = jnp.zeros((4, 3), jnp.float32)
-            pose_f = self._zero_pose_f
             extra = {"inst_type": jnp.asarray(inst_type),
                      "ray_count": jnp.asarray(ray_count)}
         else:
             pts, vmask, rot3, origin3 = raycast_inputs
-            pf_h = np.empty((4, 3), np.float32)
-            pf_h[:3] = np.asarray(rot3, np.float32)
-            pf_h[3] = np.asarray(origin3, np.float32)
-            pose_f = jnp.asarray(pf_h)
+            pose_h[3:6] = np.asarray(rot3, np.float32)
+            pose_h[6] = np.asarray(origin3, np.float32)
             extra = {"points": pts, "pts_valid": vmask, "fuse_raycast": True}
+        pose = jnp.asarray(pose_h)
         t_ogm = time.perf_counter()
 
         # host-gated scroll: only block-crossing frames pay it, and they run
@@ -307,13 +302,13 @@ class VolumetricMapper:
                     self._stream_carry, jnp.asarray(shift, jnp.int32))
             self._origin = np.asarray(origin_blk).copy()
             self.state, out = scroll_frame_step(
-                self.state, pose_i, pose_f, *fence, cfg=cfg,
+                self.state, pose, *fence, cfg=cfg,
                 input_pointcloud=input_pointcloud, use_fence=fence_on,
                 compact_rows=rows, compact_cols=cols, **extra,
             )
         else:
             self.state, out = frame_step(
-                self.state, pose_i, pose_f, *fence, cfg=cfg,
+                self.state, pose, *fence, cfg=cfg,
                 input_pointcloud=input_pointcloud, use_fence=fence_on, **extra,
             )
         t_end = time.perf_counter()

@@ -321,11 +321,19 @@ merge_frame = partial(jax.jit,
                       donate_argnums=(0,))(merge_frame_impl)
 
 
+def _unpack_pose(pose):
+    """float32 [7,3] packed per-frame pose -> (pvt, origin_blk, off int32;
+    rot [3,3], origin [3] float32).  Integer rows ride the float array
+    exactly (|values| << 2^24)."""
+    pose_i = pose[:3].astype(jnp.int32)
+    return pose_i[0], pose_i[1], pose_i[2], pose[3:6], pose[6]
+
+
 @partial(jax.jit,
          static_argnames=("cfg", "input_pointcloud", "mesh", "use_fence",
                           "fuse_raycast"),
          donate_argnums=(0,))
-def frame_step(state, pose_i, pose_f, fence_ll, fence_ur, fence_active, fence_n,
+def frame_step(state, pose, fence_ll, fence_ur, fence_active, fence_n,
                inst_type=None, ray_count=None, points=None, pts_valid=None, *,
                cfg: MapConfig, input_pointcloud: bool, mesh=None,
                use_fence: bool = True, fuse_raycast: bool = False):
@@ -333,15 +341,15 @@ def frame_step(state, pose_i, pose_f, fence_ll, fence_ur, fence_active, fence_n,
     per-frame scalars packed).
 
     Every small host->device transfer is a separate ~0.2-0.35 ms enqueue on
-    remote links, so the three pose vectors ride ONE int32 [3,3] array
-    (pvt / canvas_origin_blk / win_off rows) and the sensor pose ONE float32
-    [4,3] array (rotation rows, then origin).  With fuse_raycast the
-    sensor->world point transform runs in-program too, removing the
-    per-frame l2g dispatch: a frame is two 36-byte uploads + one dispatch."""
-    pvt, origin_blk, off = pose_i[0], pose_i[1], pose_i[2]
+    remote links, so ALL per-frame pose data rides ONE float32 [7,3] array:
+    rows 0-2 the integer pvt / canvas_origin_blk / win_off (exact in f32),
+    rows 3-5 the sensor rotation, row 6 the sensor origin.  With
+    fuse_raycast the sensor->world point transform runs in-program too,
+    removing the per-frame l2g dispatch: a frame is ONE 84-byte upload +
+    one dispatch."""
+    pvt, origin_blk, off, rot, origin = _unpack_pose(pose)
     kw = {}
     if fuse_raycast:
-        rot, origin = pose_f[:3], pose_f[3]
         inst_type = jnp.zeros(cfg.local_size, jnp.int8)
         ray_count = jnp.zeros(cfg.local_size, jnp.int32)
         kw = dict(points=points @ rot.T + origin, pts_valid=pts_valid,
@@ -357,7 +365,7 @@ def frame_step(state, pose_i, pose_f, fence_ll, fence_ur, fence_active, fence_n,
          static_argnames=("cfg", "input_pointcloud", "mesh", "use_fence",
                           "fuse_raycast", "compact_rows", "compact_cols"),
          donate_argnums=(0,))
-def scroll_frame_step(state, pose_i, pose_f, fence_ll, fence_ur, fence_active,
+def scroll_frame_step(state, pose, fence_ll, fence_ur, fence_active,
                       fence_n, inst_type=None, ray_count=None, points=None,
                       pts_valid=None, *, cfg: MapConfig, input_pointcloud: bool,
                       mesh=None, use_fence: bool = True,
@@ -367,15 +375,14 @@ def scroll_frame_step(state, pose_i, pose_f, fence_ll, fence_ur, fence_active,
     """frame_step with the compacted canvas scroll fused in: on block-crossing
     frames this replaces the scroll_step + frame_step dispatch pair with ONE
     program, letting XLA overlap archive I/O with the frame's early passes and
-    saving a link round trip.  The target canvas origin rides pose_i row 1."""
+    saving a link round trip.  The target canvas origin rides pose row 1."""
     from ..map_state import _do_scroll
 
-    state = _do_scroll(state, pose_i[1], cfg, compact_rows=compact_rows,
+    pvt, origin_blk, off, rot, origin = _unpack_pose(pose)
+    state = _do_scroll(state, origin_blk, cfg, compact_rows=compact_rows,
                        compact_cols=compact_cols)
-    pvt, origin_blk, off = pose_i[0], pose_i[1], pose_i[2]
     kw = {}
     if fuse_raycast:
-        rot, origin = pose_f[:3], pose_f[3]
         inst_type = jnp.zeros(cfg.local_size, jnp.int8)
         ray_count = jnp.zeros(cfg.local_size, jnp.int32)
         kw = dict(points=points @ rot.T + origin, pts_valid=pts_valid,

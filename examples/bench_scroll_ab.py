@@ -74,27 +74,26 @@ def main():
     print("backend:", jax.default_backend(), "cb:", cb, file=sys.stderr)
     _LAT[0] = link_latency()
 
-    def make(use_pallas, compact, cols=64):
+    def make(use_pallas, compact, cols=64, archive_pallas=None):
         def step(s):
             # alternate x origin 0 <-> 1: every scroll moves a one-block slab
             new_o = jnp.stack(
                 [1 - s.origin_blk[0], s.origin_blk[1], s.origin_blk[2]])
             return _do_scroll(s, new_o, cfg, compact_rows=compact,
-                              compact_cols=cols, use_pallas=use_pallas)
+                              compact_cols=cols, use_pallas=use_pallas,
+                              archive_pallas=archive_pallas)
         return step
 
-    for name, fn in [
+    variants = [
         ("xla compact-256", make(False, 256)),
-        ("pallas compact-256/64", make(True, 256)),
+        ("pallas cols-64, xla archive rows", make(True, 256, 64, False)),
+        ("pallas cols-64 + pallas archive rows", make(True, 256, 64, True)),
+        ("pallas cols-32 + pallas archive rows", make(True, 256, 32, True)),
         ("xla full", make(False, None)),
-    ]:
-        print(f"{name}: {timed(fn, st):.2f} ms", flush=True)
-    # second pass to expose throttle drift
-    for name, fn in [
-        ("xla compact-256 (2nd)", make(False, 256)),
-        ("pallas compact-256/64 (2nd)", make(True, 256)),
-    ]:
-        print(f"{name}: {timed(fn, st):.2f} ms", flush=True)
+    ]
+    for _pass in range(2):  # second pass exposes throttle drift
+        for name, fn in variants:
+            print(f"{name}: {timed(fn, st):.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

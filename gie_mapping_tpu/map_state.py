@@ -212,7 +212,8 @@ def _compact_ids(flags_flat, s_max):
 def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
                compact_rows: int | None = None,
                compact_cols: int | None = None,
-               use_pallas: bool | None = None) -> MapState:
+               use_pallas: bool | None = None,
+               archive_pallas: bool | None = None) -> MapState:
     cb = cfg.canvas_blocks
     cs = cfg.canvas_size
     B = state.arch_keys.shape[0]
@@ -273,12 +274,16 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
         crows = gather_block_rows(packed, cids, cb)
         bidx = cids[:, None] * cb[2] + jz[None, :]
         cslot = jnp.where(cidv[:, None], slot[bidx], B).reshape(-1)
-        # archive side also via Pallas row DMA: `.at[ids].set` row scatters
-        # pay a per-index floor on this part (see blockrows docstring)
-        aval = cslot < B
-        a_packed = scatter_archive_rows(
-            state.a_packed, crows, jnp.where(aval, cslot, 0),
-            aval.astype(jnp.int32))
+        if archive_pallas is False:  # A/B toggle (examples/bench_scroll_ab)
+            a_packed = state.a_packed.at[cslot].set(
+                crows, mode="drop")
+        else:
+            # archive side also via Pallas row DMA: `.at[ids].set` row
+            # scatters pay a per-index floor (see blockrows docstring)
+            aval = cslot < B
+            a_packed = scatter_archive_rows(
+                state.a_packed, crows, jnp.where(aval, cslot, 0),
+                aval.astype(jnp.int32))
     else:
         # ordinary scrolls move out only thin slabs: touch exactly those rows
         # (host guarantees the exiting-block bound fits compact_rows)
@@ -332,7 +337,10 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
         bidx2 = cids2[:, None] * cb[2] + jz[None, :]
         valid_b = entering.reshape(-1)[bidx2] & cidv2[:, None]
         slot_b = jnp.where(valid_b, gslot[bidx2], 0)
-        grows = gather_archive_rows(a_packed, slot_b.reshape(-1))
+        if archive_pallas is False:
+            grows = a_packed[slot_b.reshape(-1)]
+        else:
+            grows = gather_archive_rows(a_packed, slot_b.reshape(-1))
         packed = scatter_block_rows(
             packed, grows, colv, valid_b.astype(jnp.int32).reshape(-1), cb)
     else:

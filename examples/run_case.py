@@ -158,13 +158,21 @@ def main():
         out = dispatch(proj, kind, payload)
     if warm:
         out.fetch()
-    t0 = time.perf_counter()
-    n = 0
-    for proj, (kind, payload) in src:
-        out = dispatch(proj, kind, payload)
-        n += 1
-    out.fetch()
-    wall = time.perf_counter() - t0
+    # staged mode: several passes, best one — late-appearing program variants
+    # (e.g. the first ordinary scroll) trace/compile inside pass 1, and the
+    # shared link throttles unpredictably (CLAUDE.md)
+    n_passes = 3 if warm else 1
+    wall = float("inf")
+    for _pass in range(n_passes):
+        t0 = time.perf_counter()
+        n = 0
+        for proj, (kind, payload) in src:
+            out = dispatch(proj, kind, payload)
+            n += 1
+        out.fetch()
+        dt = time.perf_counter() - t0
+        print(f"pass {_pass}: {dt*1e3/max(n,1):.2f} ms/frame", file=sys.stderr)
+        wall = min(wall, dt)
 
     if mapper.mirror is not None:
         mapper.flush_stream()  # ingest in-flight streamed rows before reporting

@@ -19,7 +19,6 @@ import numpy as np
 
 from ..map_state import MapState, canvas_geometry
 from ..ops import raycast as rc
-from ..ops import scan_sensors as ss
 from ..utils import geometry as geo
 from ..utils.config import MapConfig, DEFAULT_FENCE_LL, DEFAULT_FENCE_UR
 from ..utils.constants import VB_WIDTH, VOX_UNKNOWN
@@ -237,15 +236,6 @@ class VolumetricMapper:
         origin_blk, origin_vox, off = canvas_geometry(cfg, pvt)
         return pvt, origin_blk, off
 
-    def _zeros_i32(self):
-        """Cached all-zero int32 ray-count window for projection sensors:
-        frame_step never donates it, and a fresh jnp.zeros each frame is one
-        more per-frame dispatch on the link."""
-        z = getattr(self, "_zero_cnt", None)
-        if z is None:
-            z = self._zero_cnt = jnp.zeros(self.cfg.local_size, jnp.int32)
-        return z
-
     def _fence_args(self, pvt):
         cfg = self.cfg
         win_ll = pvt.astype(np.float32) * cfg.voxel_width
@@ -268,23 +258,31 @@ class VolumetricMapper:
 
     # ------------------------------------------------------------------
     def _run(self, inst_type, ray_count, pvt, origin_blk, off, *, input_pointcloud,
-             t_sensor0, raycast_inputs=None):
+             t_sensor0, raycast_inputs=None, sensor=None):
         cfg = self.cfg
         fence, fence_on = self._fence_args(pvt)
         # pack the per-frame scalars into ONE H2D transfer: each small upload
         # is a separate ~0.2-0.35 ms enqueue on remote links
-        # (examples/bench_dispatch.py).  f32 [7,3]: integer pvt/origin/off
-        # rows (exact in f32), then sensor rotation rows + origin.
-        pose_h = np.zeros((7, 3), np.float32)
+        # (examples/bench_dispatch.py).  f32 [9,3]: integer pvt/origin/off
+        # rows (exact in f32), sensor rotation rows + origin, then two rows
+        # of per-sensor scalars (bin geometry / camera intrinsics).
+        pose_h = np.zeros((9, 3), np.float32)
         pose_h[0], pose_h[1], pose_h[2] = pvt, origin_blk, off
-        if raycast_inputs is None:
-            extra = {"inst_type": jnp.asarray(inst_type),
-                     "ray_count": jnp.asarray(ray_count)}
-        else:
+        if raycast_inputs is not None:
             pts, vmask, rot3, origin3 = raycast_inputs
             pose_h[3:6] = np.asarray(rot3, np.float32)
             pose_h[6] = np.asarray(origin3, np.float32)
             extra = {"points": pts, "pts_valid": vmask, "fuse_raycast": True}
+        elif sensor is not None:
+            # projection sensor fused into the frame program (one dispatch)
+            kind, data, scalars, proj = sensor
+            pose_h[3:6] = np.asarray(proj.rot, np.float32)
+            pose_h[6] = np.asarray(proj.trans, np.float32)
+            pose_h[7:9] = scalars
+            extra = {"sensor_data": data, "sensor_kind": kind}
+        else:
+            extra = {"inst_type": jnp.asarray(inst_type),
+                     "ray_count": jnp.asarray(ray_count)}
         pose = jnp.asarray(pose_h)
         t_ogm = time.perf_counter()
 
@@ -445,38 +443,25 @@ class VolumetricMapper:
         t0 = time.perf_counter()
         cfg = self.cfg
         pvt, origin_blk, off = self._frame_geometry(np.asarray(proj.trans))
-        param = ss.ScanParam(
-            theta_min=jnp.float32(theta_min), theta_inc=jnp.float32(theta_inc),
-            ranges=jnp.asarray(ranges, jnp.float32),
-        )
-        inst = ss.hokuyo_update(
-            proj, param, jnp.asarray(pvt), local_size=cfg.local_size,
-            voxel_width=cfg.voxel_width, ogm_min_h=cfg.ogm_min_h,
-            ogm_max_h=cfg.ogm_max_h, for_motion_planner=cfg.for_motion_planner,
-            robot_r2_grids=cfg.robot_r2_grids,
-        )
-        zeros = self._zeros_i32()
-        return self._run(inst, zeros, pvt, origin_blk, off,
-                         input_pointcloud=False, t_sensor0=t0)
+        scalars = np.zeros((2, 3), np.float32)
+        scalars[0, 0], scalars[0, 1] = theta_min, theta_inc
+        return self._run(None, None, pvt, origin_blk, off,
+                         input_pointcloud=False, t_sensor0=t0,
+                         sensor=("scan", jnp.asarray(ranges, jnp.float32),
+                                 scalars, proj))
 
     def process_depth(self, proj: geo.Projection, depth, fx, fy, cx, cy):
         """Depth-camera frame (RealsenseMapMaker, src/realsense_map_maker.cpp)."""
         t0 = time.perf_counter()
         cfg = self.cfg
         pvt, origin_blk, off = self._frame_geometry(np.asarray(proj.trans))
-        param = ss.CamParam(
-            fx=jnp.float32(fx), fy=jnp.float32(fy), cx=jnp.float32(cx),
-            cy=jnp.float32(cy), depth=jnp.asarray(depth, jnp.float32),
-        )
-        inst = ss.realsense_update(
-            proj, param, jnp.asarray(pvt), local_size=cfg.local_size,
-            voxel_width=cfg.voxel_width, ogm_min_h=cfg.ogm_min_h,
-            ogm_max_h=cfg.ogm_max_h, for_motion_planner=cfg.for_motion_planner,
-            robot_r2_grids=cfg.robot_r2_grids, valid_nan=cfg.valid_nan,
-        )
-        zeros = self._zeros_i32()
-        return self._run(inst, zeros, pvt, origin_blk, off,
-                         input_pointcloud=False, t_sensor0=t0)
+        scalars = np.zeros((2, 3), np.float32)
+        scalars[0] = (fx, fy, cx)
+        scalars[1, 0] = cy
+        return self._run(None, None, pvt, origin_blk, off,
+                         input_pointcloud=False, t_sensor0=t0,
+                         sensor=("depth", jnp.asarray(depth, jnp.float32),
+                                 scalars, proj))
 
     def process_multiscan(self, proj: geo.Projection, rings, theta_min, theta_inc,
                           phi_min, phi_inc):
@@ -484,20 +469,13 @@ class VolumetricMapper:
         t0 = time.perf_counter()
         cfg = self.cfg
         pvt, origin_blk, off = self._frame_geometry(np.asarray(proj.trans))
-        param = ss.MulScanParam(
-            theta_min=jnp.float32(theta_min), theta_inc=jnp.float32(theta_inc),
-            phi_min=jnp.float32(phi_min), phi_inc=jnp.float32(phi_inc),
-            rings=jnp.asarray(rings, jnp.float32),
-        )
-        inst = ss.vlp16_update(
-            proj, param, jnp.asarray(pvt), local_size=cfg.local_size,
-            voxel_width=cfg.voxel_width, ogm_min_h=cfg.ogm_min_h,
-            ogm_max_h=cfg.ogm_max_h, for_motion_planner=cfg.for_motion_planner,
-            robot_r2_grids=cfg.robot_r2_grids,
-        )
-        zeros = self._zeros_i32()
-        return self._run(inst, zeros, pvt, origin_blk, off,
-                         input_pointcloud=False, t_sensor0=t0)
+        scalars = np.zeros((2, 3), np.float32)
+        scalars[0] = (theta_min, theta_inc, phi_min)
+        scalars[1, 0] = phi_inc
+        return self._run(None, None, pvt, origin_blk, off,
+                         input_pointcloud=False, t_sensor0=t0,
+                         sensor=("multiscan", jnp.asarray(rings, jnp.float32),
+                                 scalars, proj))
 
     def stage_pointcloud(self, points_sensor):
         """Pre-upload a point cloud to the device (padded to capacity).

@@ -322,21 +322,56 @@ merge_frame = partial(jax.jit,
 
 
 def _unpack_pose(pose):
-    """float32 [7,3] packed per-frame pose -> (pvt, origin_blk, off int32;
-    rot [3,3], origin [3] float32).  Integer rows ride the float array
-    exactly (|values| << 2^24)."""
+    """float32 [9,3] packed per-frame pose -> (pvt, origin_blk, off int32;
+    rot [3,3], origin [3], s1 [3], s2 [3] float32).  Integer rows ride the
+    float array exactly (|values| << 2^24); rows 7-8 carry per-sensor
+    scalars (theta/phi bins or camera intrinsics)."""
     pose_i = pose[:3].astype(jnp.int32)
-    return pose_i[0], pose_i[1], pose_i[2], pose[3:6], pose[6]
+    return (pose_i[0], pose_i[1], pose_i[2], pose[3:6], pose[6], pose[7],
+            pose[8])
+
+
+def _fused_sensor(sensor_kind, sensor_data, rot, origin, s1, s2, pvt,
+                  cfg: MapConfig):
+    """Run a projection sensor model inside the frame program (the in-program
+    analogue of fuse_raycast, for the hokuyo/realsense/vlp16 pipelines):
+    one dispatch per frame, scalars riding the packed pose upload."""
+    from ..ops import scan_sensors as ss
+
+    projc = geo.Projection(rot, origin)
+    common = dict(local_size=cfg.local_size, voxel_width=cfg.voxel_width,
+                  ogm_min_h=cfg.ogm_min_h, ogm_max_h=cfg.ogm_max_h,
+                  for_motion_planner=cfg.for_motion_planner,
+                  robot_r2_grids=cfg.robot_r2_grids)
+    if sensor_kind == "scan":
+        param = ss.ScanParam(theta_min=s1[0], theta_inc=s1[1],
+                             ranges=sensor_data)
+        inst = ss.hokuyo_update(projc, param, pvt, **common)
+    elif sensor_kind == "depth":
+        param = ss.CamParam(fx=s1[0], fy=s1[1], cx=s1[2], cy=s2[0],
+                            depth=sensor_data)
+        inst = ss.realsense_update(projc, param, pvt,
+                                   valid_nan=cfg.valid_nan, **common)
+    elif sensor_kind == "multiscan":
+        param = ss.MulScanParam(theta_min=s1[0], theta_inc=s1[1],
+                                phi_min=s1[2], phi_inc=s2[0],
+                                rings=sensor_data)
+        inst = ss.vlp16_update(projc, param, pvt, **common)
+    else:  # pragma: no cover
+        raise KeyError(sensor_kind)
+    return inst, jnp.zeros(cfg.local_size, jnp.int32)
 
 
 @partial(jax.jit,
          static_argnames=("cfg", "input_pointcloud", "mesh", "use_fence",
-                          "fuse_raycast"),
+                          "fuse_raycast", "sensor_kind"),
          donate_argnums=(0,))
 def frame_step(state, pose, fence_ll, fence_ur, fence_active, fence_n,
-               inst_type=None, ray_count=None, points=None, pts_valid=None, *,
+               inst_type=None, ray_count=None, points=None, pts_valid=None,
+               sensor_data=None, *,
                cfg: MapConfig, input_pointcloud: bool, mesh=None,
-               use_fence: bool = True, fuse_raycast: bool = False):
+               use_fence: bool = True, fuse_raycast: bool = False,
+               sensor_kind: str | None = None):
     """Low-latency per-frame entry used by the mapper (merge_frame with the
     per-frame scalars packed).
 
@@ -345,15 +380,20 @@ def frame_step(state, pose, fence_ll, fence_ur, fence_active, fence_n,
     rows 0-2 the integer pvt / canvas_origin_blk / win_off (exact in f32),
     rows 3-5 the sensor rotation, row 6 the sensor origin.  With
     fuse_raycast the sensor->world point transform runs in-program too,
-    removing the per-frame l2g dispatch: a frame is ONE 84-byte upload +
-    one dispatch."""
-    pvt, origin_blk, off, rot, origin = _unpack_pose(pose)
+    removing the per-frame l2g dispatch; with sensor_kind one of
+    scan/depth/multiscan, the projection sensor model runs in-program
+    (sensor_data = the staged ranges/depth/rings array): a frame is ONE
+    108-byte upload + one dispatch."""
+    pvt, origin_blk, off, rot, origin, s1, s2 = _unpack_pose(pose)
     kw = {}
     if fuse_raycast:
         inst_type = jnp.zeros(cfg.local_size, jnp.int8)
         ray_count = jnp.zeros(cfg.local_size, jnp.int32)
         kw = dict(points=points @ rot.T + origin, pts_valid=pts_valid,
                   sensor_origin=origin)
+    elif sensor_kind is not None:
+        inst_type, ray_count = _fused_sensor(
+            sensor_kind, sensor_data, rot, origin, s1, s2, pvt, cfg)
     return merge_frame_impl(
         state, inst_type, ray_count, pvt, origin_blk, off,
         fence_ll, fence_ur, fence_active, fence_n,
@@ -363,13 +403,16 @@ def frame_step(state, pose, fence_ll, fence_ur, fence_active, fence_n,
 
 @partial(jax.jit,
          static_argnames=("cfg", "input_pointcloud", "mesh", "use_fence",
-                          "fuse_raycast", "compact_rows", "compact_cols"),
+                          "fuse_raycast", "sensor_kind", "compact_rows",
+                          "compact_cols"),
          donate_argnums=(0,))
 def scroll_frame_step(state, pose, fence_ll, fence_ur, fence_active,
                       fence_n, inst_type=None, ray_count=None, points=None,
-                      pts_valid=None, *, cfg: MapConfig, input_pointcloud: bool,
+                      pts_valid=None, sensor_data=None, *,
+                      cfg: MapConfig, input_pointcloud: bool,
                       mesh=None, use_fence: bool = True,
                       fuse_raycast: bool = False,
+                      sensor_kind: str | None = None,
                       compact_rows: int | None = None,
                       compact_cols: int | None = None):
     """frame_step with the compacted canvas scroll fused in: on block-crossing
@@ -378,7 +421,7 @@ def scroll_frame_step(state, pose, fence_ll, fence_ur, fence_active,
     saving a link round trip.  The target canvas origin rides pose row 1."""
     from ..map_state import _do_scroll
 
-    pvt, origin_blk, off, rot, origin = _unpack_pose(pose)
+    pvt, origin_blk, off, rot, origin, s1, s2 = _unpack_pose(pose)
     state = _do_scroll(state, origin_blk, cfg, compact_rows=compact_rows,
                        compact_cols=compact_cols)
     kw = {}
@@ -387,6 +430,9 @@ def scroll_frame_step(state, pose, fence_ll, fence_ur, fence_active,
         ray_count = jnp.zeros(cfg.local_size, jnp.int32)
         kw = dict(points=points @ rot.T + origin, pts_valid=pts_valid,
                   sensor_origin=origin)
+    elif sensor_kind is not None:
+        inst_type, ray_count = _fused_sensor(
+            sensor_kind, sensor_data, rot, origin, s1, s2, pvt, cfg)
     return merge_frame_impl(
         state, inst_type, ray_count, pvt, origin_blk, off,
         fence_ll, fence_ur, fence_active, fence_n,

@@ -129,6 +129,17 @@ def main():
     if args.staged:
         import jax.numpy as jnp
 
+        # size the static point capacity to the data (a deployment sizes its
+        # buffer to the sensor; padding 8k synthetic rays to the default 64k
+        # capacity would 8x the raycast work)
+        maxpts = max((len(p) for _, (k, p) in src if k == "pointcloud"),
+                     default=0)
+        if maxpts:
+            cap = 1 << (maxpts - 1).bit_length()
+            cfg = cfg.replace(max_raycast_points=min(
+                cfg.max_raycast_points, max(cap, 4096)))
+            mapper = VolumetricMapper(cfg, log_path=args.log)
+
         def _stage(kind, payload):
             if kind == "pointcloud":
                 return mapper.stage_pointcloud(payload)

@@ -40,18 +40,21 @@ def _round_up(v, m):
     return (v + m - 1) // m * m
 
 
-def _envelope_kernel(n_sites, idx_bits, n_payloads, active_ref, lo_ref, hi_ref,
-                     f_hbm, *refs):
+def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, active_ref, lo_ref,
+                     hi_ref, f_hbm, *refs):
     """Site operands stay in HBM; the active branch DMAs one [N,128] lane
     tile into VMEM scratch (once per lane tile — xc==0 runs first), so
     skipped tiles pay neither compute nor fetch.
 
-    Both reduction loops run only over [lo, hi) — the tile's active site
-    range (sites outside are infinite-cost in every lane of the tile, so
-    they can never win; band-limited maps cut the O(N^2) loop to the
-    occupied slab).  Final batch_edt outputs stay bit-identical: lanes with
-    no finite site select an infinite-cost winner whose valid payload bit is
-    0 either way, and the caller masks on it."""
+    Both reduction loops run only over [lo, hi) — indexed PER (lane-tile,
+    x-chunk): the host side intersects the tile's occupied site slab with a
+    coarse-to-fine radius bound (for every x in this chunk, a site farther
+    than the chunk's proven best-cost radius loses strictly — see
+    _chunk_bands), so sparse maps cut the O(N^2) loop to a near-linear
+    band.  Final batch_edt outputs stay bit-identical: excluded sites lose
+    STRICTLY for every sited lane (ties unaffected), and lanes with no
+    finite site select an infinite-cost winner whose valid payload bit is 0
+    either way, which the caller masks on."""
     pay_hbm = refs[:n_payloads]
     out_best = refs[n_payloads]
     out_site = refs[n_payloads + 1]
@@ -96,7 +99,8 @@ def _envelope_kernel(n_sites, idx_bits, n_payloads, active_ref, lo_ref, hi_ref,
             packed = (cand << idx_bits) | i
             return jnp.minimum(acc, packed)
 
-        acc = jax.lax.fori_loop(lo_ref[lx], hi_ref[lx], body, init)
+        acc = jax.lax.fori_loop(lo_ref[lx * n_xc + xc], hi_ref[lx * n_xc + xc],
+                                body, init)
         site = acc & ((1 << idx_bits) - 1)
         out_best[:, :] = acc >> idx_bits
         out_site[:, :] = site
@@ -111,13 +115,59 @@ def _envelope_kernel(n_sites, idx_bits, n_payloads, active_ref, lo_ref, hi_ref,
                     for k in range(n_payloads)
                 )
 
-            sels = jax.lax.fori_loop(lo_ref[lx], hi_ref[lx], pay_body, inits)
+            sels = jax.lax.fori_loop(lo_ref[lx * n_xc + xc],
+                                     hi_ref[lx * n_xc + xc], pay_body, inits)
             for k in range(n_payloads):
                 out_pays[k][:, :] = sels[k]
 
 
-@functools.partial(jax.jit, static_argnames=("n_payloads",))
-def _envelope_2d(fsq, payloads, n_payloads: int):
+def _chunk_bands(fp, N, n_tiles, n_xc, lo, hi, big):
+    """Per-(x-chunk, lane-tile) site bands [lo2, hi2) that provably contain
+    every possible winner (coarse-to-fine bound).
+
+    For each lane, group sites into 8-wide coarse blocks and take the block
+    minimum of f.  For chunk c and lane l,
+        U[c,l] = min over blocks cb ( maxdx(c,cb)^2 + fmin8[cb,l] )
+    upper-bounds the lane's true best cost for EVERY x in the chunk (the
+    block term bounds the cost of using that block's min-f site from the
+    farthest x).  Any site i with (x-i)^2 > U loses strictly, so the band
+    [chunk - r, chunk + r] with r = floor(sqrt(max_sited_lanes U)) + 1 keeps
+    results bit-identical for sited lanes while cutting the loop on sparse
+    maps.  Lanes with no finite site are excluded from the tile max (their
+    outputs are payload-invalid either way)."""
+    nb = -(-N // 8)
+    fpad = jnp.pad(fp, ((0, nb * 8 - N), (0, 0)), constant_values=big)
+    fmin8 = jnp.min(fpad.reshape(nb, 8, -1), axis=1)           # [nb, Lp]
+    sited = jnp.any(fmin8 < big, axis=0)                       # [Lp]
+
+    c_idx = jnp.arange(n_xc, dtype=jnp.int32)
+    cb_idx = jnp.arange(nb, dtype=jnp.int32)
+    a = c_idx * XC                                             # chunk start
+    b = a + (XC - 1)                                           # chunk end
+    blo = cb_idx * 8
+    bhi = jnp.minimum(blo + 7, N - 1)
+    maxdx = jnp.maximum(jnp.abs(a[:, None] - bhi[None, :]),
+                        jnp.abs(b[:, None] - blo[None, :]))    # [n_xc, nb]
+    # int32-safe: maxdx^2 <= N^2 <= 2^(2*idx_bits) and fmin8 <= cap
+    # < 2^(31-idx_bits), whose sum stays < 2^31 for every legal idx_bits
+    terms = (maxdx.astype(jnp.int32)[..., None] ** 2
+             + jnp.minimum(fmin8, big)[None])                  # [n_xc, nb, Lp]
+    U = jnp.min(terms, axis=1)                                 # [n_xc, Lp]
+    U = jnp.where(sited[None, :], U, jnp.int32(-1))
+    U_t = jnp.max(U.reshape(n_xc, n_tiles, LANES), axis=2)     # [n_xc, tiles]
+    # f32 sqrt absolute error << 1 for U < 2^31; the +1 slack absorbs it
+    r = (jnp.floor(jnp.sqrt(jnp.maximum(U_t, 0).astype(jnp.float32)))
+         .astype(jnp.int32) + 1)
+    lo2 = jnp.maximum(lo[None, :], (a[:, None] - r))
+    hi2 = jnp.minimum(hi[None, :], (b[:, None] + 1 + r))
+    hi2 = jnp.maximum(hi2, lo2)                                # empty stays empty
+    # kernel indexes [lx * n_xc + xc]
+    return (jnp.transpose(lo2).reshape(-1).astype(jnp.int32),
+            jnp.transpose(hi2).reshape(-1).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("n_payloads", "bands"))
+def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True):
     """fsq int32 [N, L]; payloads tuple of int32 [N, L]."""
     N, L = fsq.shape
     idx_bits = (N - 1).bit_length() if N > 1 else 1
@@ -129,13 +179,19 @@ def _envelope_2d(fsq, payloads, n_payloads: int):
     pp = [jnp.pad(p, ((0, 0), (0, Lp - L))) for p in payloads]
 
     n_tiles = Lp // LANES
+    n_xc = Np // XC
     act_s = jnp.any(fp.reshape(N, n_tiles, LANES) < cap, axis=2)  # [N, tiles]
     any_t = jnp.any(act_s, axis=0)
     active = any_t.astype(jnp.int32)
     lo = jnp.where(any_t, jnp.argmax(act_s, axis=0), 0).astype(jnp.int32)
     hi = jnp.where(any_t, N - jnp.argmax(act_s[::-1], axis=0), 0).astype(jnp.int32)
+    if bands:
+        lo, hi = _chunk_bands(fp, N, n_tiles, n_xc, lo, hi, jnp.int32(cap))
+    else:  # per-tile slab only (A/B baseline)
+        lo = jnp.repeat(lo, n_xc)
+        hi = jnp.repeat(hi, n_xc)
 
-    grid = (n_tiles, Np // XC)
+    grid = (n_tiles, n_xc)
     site_spec = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM; manual DMA
     out_spec = pl.BlockSpec((XC, LANES), lambda lx, xc, *_: (xc, lx),
                             memory_space=pltpu.VMEM)
@@ -150,7 +206,7 @@ def _envelope_2d(fsq, payloads, n_payloads: int):
         + [pltpu.SemaphoreType.DMA((1 + n_payloads,))],
     )
     outs = pl.pallas_call(
-        functools.partial(_envelope_kernel, N, idx_bits, n_payloads),
+        functools.partial(_envelope_kernel, N, idx_bits, n_payloads, n_xc),
         grid_spec=grid_spec,
         out_shape=tuple(
             jax.ShapeDtypeStruct((Np, Lp), jnp.int32) for _ in range(n_out)
@@ -159,7 +215,7 @@ def _envelope_2d(fsq, payloads, n_payloads: int):
     return tuple(o[:N, :L] for o in outs)
 
 
-def envelope_pallas(fsq, payloads=()):
+def envelope_pallas(fsq, payloads=(), bands: bool = True):
     """Drop-in (best, site, *payloads) envelope over axis 0 of [N, ...]."""
     shape = fsq.shape
     N = shape[0]
@@ -169,6 +225,6 @@ def envelope_pallas(fsq, payloads=()):
     res = _envelope_2d(
         fsq.reshape(N, L),
         tuple(p.reshape(N, L) for p in payloads),
-        n_payloads=len(payloads),
+        n_payloads=len(payloads), bands=bands,
     )
     return tuple(r.reshape(shape) for r in res)

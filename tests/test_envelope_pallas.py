@@ -80,3 +80,32 @@ def test_envelope_pallas_band_limited(interp):
     # siteless lanes: payload-valid bit must be 0 under BOTH implementations
     assert not (np.asarray(p1)[:, ~has_site] & 1).any()
     assert not (np.asarray(p0)[:, ~has_site] & 1).any()
+
+
+def test_envelope_pallas_multichunk_sparse(interp):
+    """N spans several 64-row x-chunks with sparse clustered sites: the
+    per-(tile, chunk) coarse-to-fine bands must stay exact on sited lanes."""
+    rng = np.random.default_rng(21)
+    N, L = 200, 400
+    big = 1 << 28
+    fsq = np.full((N, L), big, np.int32)
+    # a dense cluster, a lone far site per lane subset, and random sprinkle
+    fsq[40:48, :150] = rng.integers(0, 50, (8, 150))
+    fsq[190, 100:300] = rng.integers(0, 1000, 200)
+    sprinkle = rng.random((N, L)) < 0.005
+    fsq[sprinkle] = rng.integers(0, 5000, sprinkle.sum())
+    valid = (fsq < big).astype(np.int32)
+    pay = _pack_valid(rng.integers(0, 200, (N, L)).astype(np.int32), valid)
+
+    f = jnp.asarray(fsq)
+    p = jnp.asarray(pay)
+    b0, s0, p0 = lower_envelope(f, payloads=(p,), chunk=8)
+    b1, s1, p1 = env_mod.envelope_pallas(f, payloads=(p,))
+
+    has_site = valid.any(axis=0)
+    np.testing.assert_array_equal(np.asarray(b0)[:, has_site],
+                                  np.asarray(b1)[:, has_site])
+    np.testing.assert_array_equal(np.asarray(s0)[:, has_site],
+                                  np.asarray(s1)[:, has_site])
+    np.testing.assert_array_equal(np.asarray(p0)[:, has_site],
+                                  np.asarray(p1)[:, has_site])

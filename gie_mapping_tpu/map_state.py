@@ -157,6 +157,19 @@ class MapState:
         )
 
 
+@jax.jit
+def shift_block_mask(m, shift):
+    """Move a [bx,by,bz] block mask with a canvas scroll: new index i held
+    the block at old index i + shift; exposed entries become False."""
+    bx, by, bz = m.shape
+    src = [jax.lax.broadcasted_iota(jnp.int32, m.shape, a) + shift[a]
+           for a in range(3)]
+    valid = ((src[0] >= 0) & (src[0] < bx) & (src[1] >= 0) & (src[1] < by)
+             & (src[2] >= 0) & (src[2] < bz))
+    rolled = jnp.roll(m, (-shift[0], -shift[1], -shift[2]), axis=(0, 1, 2))
+    return rolled & valid
+
+
 def _arch_directory(keys, n_arch, origin_blk, canvas_blocks):
     """Archive-slot directory over a canvas-aligned region (one scatter)."""
     B = keys.shape[0]

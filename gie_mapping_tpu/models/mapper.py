@@ -25,17 +25,7 @@ from ..utils.constants import VB_WIDTH, VOX_UNKNOWN
 from .pipeline import frame_step, merge_frame, scroll_frame_step, scroll_step
 
 
-@jax.jit
-def _shift_block_mask(m, shift):
-    """Move a [bx,by,bz] block mask with a canvas scroll: new index i held
-    the block at old index i + shift; exposed entries become False."""
-    bx, by, bz = m.shape
-    src = [jax.lax.broadcasted_iota(jnp.int32, m.shape, a) + shift[a]
-           for a in range(3)]
-    valid = ((src[0] >= 0) & (src[0] < bx) & (src[1] >= 0) & (src[1] < by)
-             & (src[2] >= 0) & (src[2] < bz))
-    rolled = jnp.roll(m, (-shift[0], -shift[1], -shift[2]), axis=(0, 1, 2))
-    return rolled & valid
+from ..map_state import shift_block_mask as _shift_block_mask
 
 
 class FrameOutput:
@@ -193,7 +183,7 @@ class VolumetricMapper:
         return self
 
     # ------------------------------------------------------------------
-    def _scroll_compact_rows(self, origin_blk):
+    def _scroll_compact_rows(self, origin_blk, prev=None):
         """Static compacted-archive-IO sizes (rows, cols) for this scroll,
         or (None, None).
 
@@ -203,8 +193,9 @@ class VolumetricMapper:
         to two sizes so the jit cache stays small.  The column bound (the
         Pallas kernels' work unit) is NCOLS - prod(cb.xy - |shift.xy|), or
         every column when the shift has a z component."""
-        prev = (self._origin if self._origin is not None
-                else np.asarray(self.state.origin_blk))
+        if prev is None:
+            prev = (self._origin if self._origin is not None
+                    else np.asarray(self.state.origin_blk))
         shift = np.abs(np.asarray(origin_blk) - prev)
         cb = np.asarray(self.cfg.canvas_blocks, np.int64)
         nb = int(cb.prod())
@@ -220,19 +211,26 @@ class VolumetricMapper:
                 return s, cols
         return None, None
 
-    def _frame_geometry(self, robot_pos):
+    _SELF = object()  # sentinel: "use self._origin" (which may itself be None)
+
+    def _frame_geometry(self, robot_pos, origin=_SELF):
         """Window pivot + canvas origin with scroll hysteresis: the canvas is
         slightly larger than window+halo, so the origin is kept while the
-        window (plus its halo) still fits — halving scroll frequency."""
+        window (plus its halo) still fits — halving scroll frequency.
+
+        `origin` overrides the current canvas origin (the batch planner walks
+        hypothetical origins ahead of dispatch)."""
         cfg = self.cfg
+        if origin is VolumetricMapper._SELF:
+            origin = self._origin
         pvt = geo.calculate_pivot(robot_pos, cfg.voxel_width, cfg.local_size)
-        if self._origin is not None:
-            off = pvt - self._origin * VB_WIDTH
+        if origin is not None:
+            off = pvt - origin * VB_WIDTH
             lo_ok = (off >= cfg.halo_grids).all()
             hi_ok = (off + np.asarray(cfg.local_size) + cfg.halo_grids
                      <= np.asarray(cfg.canvas_size)).all()
             if lo_ok and hi_ok:
-                return pvt, self._origin.copy(), off.astype(np.int32)
+                return pvt, origin.copy(), off.astype(np.int32)
         origin_blk, origin_vox, off = canvas_geometry(cfg, pvt)
         return pvt, origin_blk, off
 
@@ -537,3 +535,134 @@ class VolumetricMapper:
         )
         return self._run(inst, counts, pvt, origin_blk, off,
                          input_pointcloud=True, t_sensor0=t0)
+
+    # -- batched replay (throughput mode) --------------------------------
+    # in-scan scrolls use these static compacted-archive bounds; frames whose
+    # scroll exceeds them (teleports, first frame) take the per-frame path
+    REPLAY_ROWS, REPLAY_COLS = 256, 32
+
+    def stage_pointcloud_batch(self, clouds):
+        """Pre-upload K point clouds as stacked device buffers
+        ([K,N,3] float32, [K,N] bool) for process_pointcloud_batch."""
+        cfg = self.cfg
+        K = len(clouds)
+        buf = np.zeros((K, cfg.max_raycast_points, 3), np.float32)
+        vmask = np.zeros((K, cfg.max_raycast_points), bool)
+        for i, pts in enumerate(clouds):
+            pts = np.asarray(pts, np.float32)
+            n = min(len(pts), cfg.max_raycast_points)
+            buf[i, :n] = pts[:n]
+            vmask[i, :n] = True
+        return jnp.asarray(buf), jnp.asarray(vmask)
+
+    def process_pointcloud_batch(self, projs, points, valids, chunk: int = 10):
+        """Offline/replay throughput mode: K point-cloud frames dispatched as
+        `lax.scan` chunks of `chunk` frames — ONE program per chunk instead of
+        one per frame (pipeline.replay_frames), so per-frame cost approaches
+        pure device time.  This is the TPU analogue of the reference's own
+        evaluation mode (rosbag replay, README.md:102-145), where poses are
+        known ahead of dispatch.
+
+        State evolution is bit-identical to calling process_pointcloud per
+        frame (tests/test_replay_batch.py).  Frames whose canvas scroll
+        exceeds the in-scan compacted-archive bounds (first frame, teleports)
+        and chunk tails fall back to the per-frame path transparently.
+        Streaming/visualisation runs at chunk cadence over the union of
+        changed blocks; the ground-truth checker needs per-frame host data
+        and is skipped (use the per-frame API when profiling RMSE).
+
+        Args:
+          projs:  K Projections (sensor pose per frame).
+          points: [K,N,3] float32 sensor-frame clouds (device or host;
+                  see stage_pointcloud_batch), N = cfg.max_raycast_points.
+          valids: [K,N] bool.
+          chunk:  frames per scan program (each distinct value compiles once).
+
+        Returns the final frame's FrameOutput; `.per_frame` carries stacked
+        [chunk] scalars (relax_iters, fnt_count, arch_dropped) of its chunk.
+        """
+        from .pipeline import replay_frames
+
+        cfg = self.cfg
+        if not (cfg.raycast_mode == "projective" and cfg.fuse_raycast):
+            raise ValueError(
+                "process_pointcloud_batch requires raycast_mode='projective' "
+                "and fuse_raycast (the in-scan sensor path)")
+        K = len(projs)
+        cb = np.asarray(cfg.canvas_blocks, np.int64)
+        # small canvases can't fill the compacted buckets: the full-canvas
+        # scroll path (also fully traced) handles ANY in-scan shift there
+        use_compact = int(cb.prod()) >= self.REPLAY_ROWS \
+            and int(cb[0] * cb[1]) >= self.REPLAY_COLS
+        cr = self.REPLAY_ROWS if use_compact else None
+        cc = self.REPLAY_COLS if use_compact else None
+        result = None
+        i = 0
+        while i < K:
+            # plan a run of `chunk` frames whose scrolls fit the bounds
+            prev = None if self._origin is None else self._origin.copy()
+            plan = []
+            j = i
+            while j < K and len(plan) < chunk:
+                pvt, origin_blk, off = self._frame_geometry(
+                    np.asarray(projs[j].trans), origin=prev)
+                scroll = prev is None or not np.array_equal(prev, origin_blk)
+                if scroll:
+                    if prev is None:
+                        break  # fresh map: per-frame path compiles the scroll
+                    if use_compact:
+                        rows, cols = self._scroll_compact_rows(origin_blk,
+                                                               prev=prev)
+                        if (rows is None or rows > self.REPLAY_ROWS
+                                or cols > self.REPLAY_COLS):
+                            break  # teleport-scale scroll
+                plan.append((pvt, origin_blk, off, scroll, j))
+                if scroll:
+                    prev = origin_blk.copy()
+                j += 1
+            if len(plan) < chunk:
+                # violation or tail: per-frame path for the next frame, then
+                # re-plan (fixed chunk size keeps the jit cache at one entry)
+                result = self.process_pointcloud(projs[i], points[i], valids[i])
+                i += 1
+                continue
+
+            t0 = time.perf_counter()
+            n = len(plan)
+            pose_h = np.zeros((n, 9, 3), np.float32)
+            scrolled = np.zeros(n, bool)
+            for k, (pvt, origin_blk, off, scr, idx) in enumerate(plan):
+                pose_h[k, 0], pose_h[k, 1], pose_h[k, 2] = pvt, origin_blk, off
+                pose_h[k, 3:6] = np.asarray(projs[idx].rot, np.float32)
+                pose_h[k, 6] = np.asarray(projs[idx].trans, np.float32)
+                scrolled[k] = scr
+            fence, fence_on = self._fence_args(plan[0][0])
+            start_origin = (self._origin if self._origin is not None
+                            else np.asarray(self.state.origin_blk))
+            self.state, out, changed_union, per_frame = replay_frames(
+                self.state, jnp.asarray(pose_h), jnp.asarray(scrolled), *fence,
+                points=points[i:i + n], pts_valid=valids[i:i + n],
+                cfg=cfg, input_pointcloud=True, use_fence=fence_on,
+                fuse_raycast=True, compact_rows=cr, compact_cols=cc)
+            last = plan[-1]
+            self._origin = np.asarray(last[1]).copy()
+            self.map_ct += n
+            result = FrameOutput(
+                out, origin=last[0].astype(np.float32) * cfg.voxel_width,
+                pvt=last[0])
+            result.per_frame = per_frame
+            dt = (time.perf_counter() - t0) * 1e3 / n
+            result.edt_time_ms = dt  # amortised dispatch-side time
+            self.last_output = result
+            if cfg.display_glb_edt or cfg.display_glb_ogm:
+                if getattr(self, "_stream_carry", None) is not None:
+                    net = jnp.asarray(self._origin - start_origin, jnp.int32)
+                    self._stream_carry = _shift_block_mask(self._stream_carry,
+                                                           net)
+                self._stream({"changed_blk": changed_union}, self._origin)
+            if self.logger is not None:
+                for _ in range(n):
+                    self.logger.log_frame(0.0, dt,
+                                          self.logger.take_pending_rmse())
+            i += n
+        return result

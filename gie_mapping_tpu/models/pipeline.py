@@ -440,6 +440,115 @@ def scroll_frame_step(state, pose, fence_ll, fence_ur, fence_active,
         do_scroll=False, use_fence=use_fence, fuse_raycast=fuse_raycast, **kw)
 
 
+def _out_template(cfg: MapConfig):
+    """Zero-filled outputs dict matching merge_frame_impl's structure (the
+    initial value of the replay scan's last-output carry)."""
+    ls = cfg.local_size
+    cb = cfg.canvas_blocks
+    return {
+        "edt": jnp.zeros(ls, jnp.float32),
+        "glb_type": jnp.zeros(ls, jnp.int8),
+        "dist_sq": jnp.zeros(ls, jnp.int32),
+        "coc": jnp.zeros(ls + (3,), jnp.int16),
+        "ogm_changed": jnp.zeros(ls, jnp.bool_),
+        "changed_blk": jnp.zeros(cb, jnp.bool_),
+        "relax_iters": jnp.int32(0),
+        "arch_dropped": jnp.int32(0),
+        "fnt_count": jnp.int32(0),
+    }
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "input_pointcloud", "use_fence",
+                          "fuse_raycast", "sensor_kind", "compact_rows",
+                          "compact_cols"),
+         donate_argnums=(0,))
+def replay_frames(state, poses, scrolled, fence_ll, fence_ur, fence_active,
+                  fence_n, inst_type=None, ray_count=None, points=None,
+                  pts_valid=None, sensor_data=None, *,
+                  cfg: MapConfig, input_pointcloud: bool,
+                  use_fence: bool = True, fuse_raycast: bool = False,
+                  sensor_kind: str | None = None,
+                  compact_rows: int | None = None,
+                  compact_cols: int | None = None):
+    """Throughput/replay mode: K frames in ONE jitted `lax.scan` program.
+
+    The per-frame entries (frame_step / scroll_frame_step) pay one
+    host->device dispatch each — on a remote link that enqueue cost dominates
+    the engine itself (examples/bench_dispatch.py: the raw dispatch floor is
+    several ms/frame while the device work is ~1-2 ms).  For offline map
+    building from recorded logs (the reference's own evaluation mode: rosbag
+    replay, README.md:102-145) the poses are known ahead, so the host
+    pre-computes each frame's window geometry and scroll decision and the
+    whole batch runs as one scan: per-frame cost drops to pure device time.
+
+    Scrolls run INSIDE the scan via `lax.cond` over the compacted Pallas
+    archive path (`compact_rows`/`compact_cols` bound the moved block slabs;
+    the mapper verifies every scroll in the batch fits and falls back to the
+    per-frame path otherwise).  State evolution is bit-identical to the
+    per-frame loop (tests/test_replay_batch.py).
+
+    Args (scanned along axis 0, length K):
+      poses:    float32 [K,9,3] packed per-frame pose (see _unpack_pose).
+      scrolled: bool [K] — whether this frame's canvas origin differs from
+                the previous frame's (host-computed).
+      points/pts_valid ([K,N,3]/[K,N]) with fuse_raycast;
+      sensor_data [K,...] with sensor_kind; else inst_type/ray_count [K,...].
+
+    Returns (state', last_outputs, changed_union [bx,by,bz], per_frame) with
+    per_frame a dict of [K] arrays (relax_iters, fnt_count, arch_dropped).
+    """
+    from ..map_state import _do_scroll, shift_block_mask
+
+    fence = (fence_ll, fence_ur, fence_active, fence_n)
+
+    def scroll_branch(op):
+        s, mask, origin_blk = op
+        shift = origin_blk - s.origin_blk
+        s2 = _do_scroll(s, origin_blk, cfg, compact_rows=compact_rows,
+                        compact_cols=compact_cols)
+        return s2, shift_block_mask(mask, shift)
+
+    def body(carry, xs):
+        s, _, changed_union = carry
+        pvt, origin_blk, off, rot, origin, s1, s2 = _unpack_pose(xs["pose"])
+        s, changed_union = jax.lax.cond(
+            xs["scrolled"], scroll_branch, lambda op: (op[0], op[1]),
+            (s, changed_union, origin_blk),
+        )
+        kw = {}
+        if fuse_raycast:
+            inst = jnp.zeros(cfg.local_size, jnp.int8)
+            cnt = jnp.zeros(cfg.local_size, jnp.int32)
+            kw = dict(points=xs["points"] @ rot.T + origin,
+                      pts_valid=xs["pts_valid"], sensor_origin=origin)
+        elif sensor_kind is not None:
+            inst, cnt = _fused_sensor(
+                sensor_kind, xs["sensor_data"], rot, origin, s1, s2, pvt, cfg)
+        else:
+            inst, cnt = xs["inst_type"], xs["ray_count"]
+        s, out = merge_frame_impl(
+            s, inst, cnt, pvt, origin_blk, off, *fence,
+            cfg=cfg, input_pointcloud=input_pointcloud, do_scroll=False,
+            use_fence=use_fence, fuse_raycast=fuse_raycast, **kw)
+        changed_union = changed_union | out["changed_blk"]
+        ys = {k: out[k] for k in ("relax_iters", "fnt_count", "arch_dropped")}
+        return (s, out, changed_union), ys
+
+    xs = {"pose": poses, "scrolled": scrolled}
+    if fuse_raycast:
+        xs["points"], xs["pts_valid"] = points, pts_valid
+    elif sensor_kind is not None:
+        xs["sensor_data"] = sensor_data
+    else:
+        xs["inst_type"], xs["ray_count"] = inst_type, ray_count
+
+    init = (state, _out_template(cfg),
+            jnp.zeros(cfg.canvas_blocks, jnp.bool_))
+    (state, last_out, changed_union), per_frame = jax.lax.scan(body, init, xs)
+    return state, last_out, changed_union, per_frame
+
+
 @partial(jax.jit, static_argnames=("cfg", "compact_rows", "compact_cols"),
          donate_argnums=(0,))
 def scroll_step(state: MapState, new_origin_blk, *, cfg: MapConfig,

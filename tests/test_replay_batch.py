@@ -1,0 +1,105 @@
+"""Batched replay (pipeline.replay_frames / process_pointcloud_batch) must be
+bit-identical to the per-frame loop: same scroll decisions, same fusion, same
+EDT, same archive state — the scan only changes HOW the frames are dispatched.
+
+Covers both in-scan scroll paths: the full-canvas path (small canvases) and
+the compacted Pallas-branch-shaped path (large canvases; on CPU this runs the
+non-pallas compacted rows branch of map_state._do_scroll)."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from gie_mapping_tpu.models.mapper import VolumetricMapper
+from gie_mapping_tpu.runtime.datasets import BoxWorld
+from gie_mapping_tpu.utils import geometry as geo
+from gie_mapping_tpu.utils.config import cow_lady_config
+
+
+def _linear_poses(n, step=0.5, start=-1.8):
+    eye = np.eye(3, dtype=np.float32)
+    return [geo.Projection(rot=eye,
+                           trans=np.asarray([start + step * i, 0.15 * i, 0.9],
+                                            np.float32))
+            for i in range(n)]
+
+
+def _run_pair(cfg, n_frames, chunk):
+    world = BoxWorld.corridor(seed=3, n_pillars=5, extent=3.0, height=2.0)
+    poses = _linear_poses(n_frames)
+    clouds = [world.pointcloud(p, n_rays=cfg.max_raycast_points, max_range=6.0,
+                               seed=i) for i, p in enumerate(poses)]
+
+    m_ref = VolumetricMapper(cfg)
+    pts_r, val_r = m_ref.stage_pointcloud_batch(clouds)
+    for i, p in enumerate(poses):
+        out_ref = m_ref.process_pointcloud(p, pts_r[i], val_r[i])
+
+    m_bat = VolumetricMapper(cfg)
+    pts_b, val_b = m_bat.stage_pointcloud_batch(clouds)
+    out_bat = m_bat.process_pointcloud_batch(poses, pts_b, val_b, chunk=chunk)
+    return m_ref, out_ref, m_bat, out_bat
+
+
+def _assert_equal(m_ref, out_ref, m_bat, out_bat):
+    for f in dataclasses.fields(m_ref.state):
+        a = np.asarray(getattr(m_ref.state, f.name))
+        b = np.asarray(getattr(m_bat.state, f.name))
+        np.testing.assert_array_equal(a, b, err_msg=f"state.{f.name}")
+    for k in ("edt", "dist_sq", "coc", "glb_type"):
+        np.testing.assert_array_equal(
+            np.asarray(out_ref.device(k)), np.asarray(out_bat.device(k)),
+            err_msg=f"output {k}")
+    assert m_ref.map_ct == m_bat.map_ct
+    assert np.array_equal(m_ref._origin, m_bat._origin)
+
+
+def test_replay_batch_small_canvas_full_scroll():
+    """nb < 256: in-scan scrolls take the full-canvas traced path."""
+    cfg = cow_lady_config(
+        voxel_width=0.2, local_size_m=(4.0, 4.0, 1.6), cutoff_dist=1.0,
+        max_blocks=1024, max_raycast_points=256, fuse_raycast=True,
+        display_glb_edt=False, display_glb_ogm=False)
+    assert int(np.prod(cfg.canvas_blocks)) < VolumetricMapper.REPLAY_ROWS
+    _assert_equal(*_run_pair(cfg, n_frames=8, chunk=3))
+
+
+def test_replay_batch_compacted_scroll():
+    """nb >= 256: in-scan scrolls use the compacted-archive bounds."""
+    cfg = cow_lady_config(
+        voxel_width=0.2, local_size_m=(9.6, 9.6, 1.6), cutoff_dist=1.0,
+        max_blocks=2048, max_raycast_points=256, fuse_raycast=True,
+        display_glb_edt=False, display_glb_ogm=False)
+    cb = np.asarray(cfg.canvas_blocks)
+    assert int(cb.prod()) >= VolumetricMapper.REPLAY_ROWS
+    assert int(cb[0] * cb[1]) >= VolumetricMapper.REPLAY_COLS
+    m_ref, out_ref, m_bat, out_bat = _run_pair(cfg, n_frames=8, chunk=3)
+    _assert_equal(m_ref, out_ref, m_bat, out_bat)
+    # the trajectory must actually scroll inside a scanned chunk for this
+    # test to mean anything
+    assert m_bat.map_ct == 8
+
+
+def test_replay_batch_teleport_falls_back():
+    """A teleport mid-batch exceeds the compact bounds: the planner must
+    split around it and still match the per-frame loop."""
+    cfg = cow_lady_config(
+        voxel_width=0.2, local_size_m=(9.6, 9.6, 1.6), cutoff_dist=1.0,
+        max_blocks=2048, max_raycast_points=256, fuse_raycast=True,
+        display_glb_edt=False, display_glb_ogm=False)
+    world = BoxWorld.corridor(seed=3, n_pillars=5, extent=3.0, height=2.0)
+    poses = _linear_poses(7)
+    # teleport at frame 4
+    poses[4] = geo.Projection(rot=np.eye(3, dtype=np.float32),
+                              trans=np.asarray([14.0, 9.0, 0.9], np.float32))
+    clouds = [world.pointcloud(p, n_rays=256, max_range=6.0, seed=i)
+              for i, p in enumerate(poses)]
+
+    m_ref = VolumetricMapper(cfg)
+    pts, val = m_ref.stage_pointcloud_batch(clouds)
+    for i, p in enumerate(poses):
+        out_ref = m_ref.process_pointcloud(p, pts[i], val[i])
+    m_bat = VolumetricMapper(cfg)
+    pts_b, val_b = m_bat.stage_pointcloud_batch(clouds)
+    out_bat = m_bat.process_pointcloud_batch(poses, pts_b, val_b, chunk=3)
+    _assert_equal(m_ref, out_ref, m_bat, out_bat)

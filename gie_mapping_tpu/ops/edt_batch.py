@@ -108,7 +108,8 @@ def _use_pallas() -> bool:
         return False
 
 
-def _edt_zmajor_core(occ, env, max_width: int, z_global: int, reshard1, reshard2):
+def _edt_zmajor_core(occ, env, max_width: int, z_global: int, reshard1,
+                     reshard2, env_mid=None):
     """Phases 1-3 of the z-major EDT with pluggable phase-boundary reshards.
 
     reshard1: [Xl,Y,Z]-layout phase-1 output -> phase-2 [X,Zl,Y] layout
@@ -128,8 +129,19 @@ def _edt_zmajor_core(occ, env, max_width: int, z_global: int, reshard1, reshard2
     d2t, site2t, pay2t = env(reshard1(g1sq), (reshard1(pay2),))
     d2m = jnp.where((pay2t & 1) > 0, d2t, _BIG)        # [X,Zl,Y]
     pay3 = (site2t << 11) | pay2t
-    d3, coc_z3, pay3s = env(reshard2(d2m), (reshard2(pay3),))
     zbits = (z_global - 1).bit_length() + 1
+    if env_mid is not None:
+        # phase 3 reads phase 2's [X,Zl,Y] layout in place (site axis =
+        # middle): the [X,Z,Y]->[Z,X,Y] transpose pair between the two
+        # pallas_calls — which XLA cannot fuse across kernel boundaries —
+        # never materialises
+        d3, coc_z3, pay3s = env_mid(d2m, (pay3,))      # [X,Z,Y]
+        d3c = jnp.minimum(d3, (1 << (30 - zbits)) - 1)
+        packed_c = jnp.transpose(
+            (d3c << (zbits + 1)) | (coc_z3 << 1) | (pay3s & 1), (0, 2, 1))
+        pay3b = jnp.transpose(pay3s, (0, 2, 1))        # [Xl,Y,Z]
+        return packed_c, pay3b, zbits
+    d3, coc_z3, pay3s = env(reshard2(d2m), (reshard2(pay3),))
     d3c = jnp.minimum(d3, (1 << (30 - zbits)) - 1)
     packed_c = jnp.moveaxis(
         (d3c << (zbits + 1)) | (coc_z3 << 1) | (pay3s & 1), 0, 2)
@@ -137,9 +149,10 @@ def _edt_zmajor_core(occ, env, max_width: int, z_global: int, reshard1, reshard2
     return packed_c, pay3b, zbits
 
 
-@partial(jax.jit, static_argnames=("max_width", "chunk", "pallas", "zmajor"))
+@partial(jax.jit, static_argnames=("max_width", "chunk", "pallas", "zmajor",
+                                   "mid"))
 def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = None,
-              zmajor: bool = True):
+              zmajor: bool = True, mid: bool | None = None):
     """Batch local EDT over a dense grid.
 
     Args:
@@ -173,11 +186,19 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = No
     # through the phase-2/3 boundary: [X,Z,Y] -> [Z,X,Y] is ONE transposed
     # pass per packed array, and the return to canvas layout packs
     # (dist, coc_z, valid) into one int32 so it is two passes, not three.
+    if mid is None:
+        mid = False  # flipped per-shape after on-device A/B (bench_edt_mid_ab)
+    env_mid = None
+    if mid and pallas and zmajor and Z > 1:
+        from .pallas.envelope import envelope_mid_pallas
+
+        env_mid = lambda f, payloads: envelope_mid_pallas(f, payloads)
     if zmajor and Z > 1:
         tzy = lambda a: jnp.transpose(a, (0, 2, 1))
         packed_c, pay3b, zbits = _edt_zmajor_core(
             occ, env, max_width, Z,
-            reshard1=tzy, reshard2=lambda a: jnp.moveaxis(a, 1, 0))
+            reshard1=tzy, reshard2=lambda a: jnp.moveaxis(a, 1, 0),
+            env_mid=env_mid)
         dist_sq = packed_c >> (zbits + 1)
         coc_z = (packed_c >> 1) & ((1 << zbits) - 1)
         coc_x = pay3b >> 11

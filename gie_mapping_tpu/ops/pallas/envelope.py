@@ -215,6 +215,183 @@ def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True):
     return tuple(o[:N, :L] for o in outs)
 
 
+def _envelope_mid_kernel(n_sites, idx_bits, n_payloads, n_tiles, n_xc,
+                         active_ref, lo_ref, hi_ref, f_hbm, *refs):
+    """Batched variant of _envelope_kernel: the envelope runs along the
+    MIDDLE axis of [B, N, L] inputs (grid dim 0 = batch), so a consumer can
+    read a producer's [X, Z, Y] layout directly — the [X,Z,Y]->[Z,X,Y]
+    transpose pair between two pallas_calls (which XLA cannot fuse away)
+    disappears.  Per-(b, lane-tile) site slabs and per-chunk coarse-to-fine
+    bands work exactly as in the flat kernel, indexed at b*n_tiles + lx."""
+    pay_hbm = refs[:n_payloads]
+    out_best = refs[n_payloads]
+    out_site = refs[n_payloads + 1]
+    out_pays = refs[n_payloads + 2: n_payloads + 2 + n_payloads]
+    scratch = refs[2 * n_payloads + 2: 2 * n_payloads + 3 + n_payloads]
+    sem = refs[-1]
+
+    b = pl.program_id(0)
+    lx = pl.program_id(1)
+    xc = pl.program_id(2)
+    tid = b * n_tiles + lx
+    cap = jnp.int32((1 << (31 - idx_bits)) - 1)
+    f_vmem = scratch[0]
+    pay_vmem = scratch[1:]
+
+    @pl.when(active_ref[tid] == 0)
+    def _():
+        out_best[...] = jnp.full((1, XC, LANES), cap, jnp.int32)
+        out_site[...] = jnp.zeros((1, XC, LANES), jnp.int32)
+        for k in range(n_payloads):
+            out_pays[k][...] = jnp.zeros((1, XC, LANES), jnp.int32)
+
+    @pl.when(active_ref[tid] != 0)
+    def _():
+        col = pl.ds(lx * LANES, LANES)
+
+        @pl.when(xc == 0)  # first x-chunk of this (batch, lane tile)
+        def _():
+            for j, (src, dst) in enumerate(
+                [(f_hbm, f_vmem)] + list(zip(pay_hbm, pay_vmem))
+            ):
+                cp = pltpu.make_async_copy(src.at[b, :, col], dst, sem.at[j])
+                cp.start()
+                cp.wait()
+
+        xs = jax.lax.broadcasted_iota(jnp.int32, (XC, LANES), 0) + xc * XC
+        init = jnp.full((XC, LANES), jnp.int32(0x7FFFFFFF), jnp.int32)
+
+        def body(i, acc):
+            fi = f_vmem[i, :].reshape(1, LANES)
+            dx = xs - i
+            cand = jnp.minimum(dx * dx + jnp.minimum(fi, cap), cap)
+            packed = (cand << idx_bits) | i
+            return jnp.minimum(acc, packed)
+
+        acc = jax.lax.fori_loop(lo_ref[tid * n_xc + xc],
+                                hi_ref[tid * n_xc + xc], body, init)
+        site = acc & ((1 << idx_bits) - 1)
+        out_best[...] = (acc >> idx_bits).reshape(1, XC, LANES)
+        out_site[...] = site.reshape(1, XC, LANES)
+
+        if n_payloads:
+            inits = tuple(jnp.zeros((XC, LANES), jnp.int32)
+                          for _ in range(n_payloads))
+
+            def pay_body(i, accs):
+                hit = site == i
+                return tuple(
+                    jnp.where(hit, pay_vmem[k][i, :].reshape(1, LANES), accs[k])
+                    for k in range(n_payloads)
+                )
+
+            sels = jax.lax.fori_loop(lo_ref[tid * n_xc + xc],
+                                     hi_ref[tid * n_xc + xc], pay_body, inits)
+            for k in range(n_payloads):
+                out_pays[k][...] = sels[k].reshape(1, XC, LANES)
+
+
+def _chunk_bands_batched(fp, N, n_tiles, n_xc, lo, hi, big):
+    """Vectorised _chunk_bands over a leading batch dim: fp [B, N, Lp],
+    lo/hi [B, tiles] -> (lo2, hi2) flat [B*tiles*n_xc] indexed
+    (b*n_tiles + lx)*n_xc + xc."""
+    B = fp.shape[0]
+    nb = -(-N // 8)
+    fpad = jnp.pad(fp, ((0, 0), (0, nb * 8 - N), (0, 0)), constant_values=big)
+    fmin8 = jnp.min(fpad.reshape(B, nb, 8, -1), axis=2)        # [B, nb, Lp]
+    sited = jnp.any(fmin8 < big, axis=1)                       # [B, Lp]
+
+    c_idx = jnp.arange(n_xc, dtype=jnp.int32)
+    cb_idx = jnp.arange(nb, dtype=jnp.int32)
+    a = c_idx * XC
+    b_end = a + (XC - 1)
+    blo = cb_idx * 8
+    bhi = jnp.minimum(blo + 7, N - 1)
+    maxdx = jnp.maximum(jnp.abs(a[:, None] - bhi[None, :]),
+                        jnp.abs(b_end[:, None] - blo[None, :]))  # [n_xc, nb]
+    terms = (maxdx.astype(jnp.int32)[None, :, :, None] ** 2
+             + jnp.minimum(fmin8, big)[:, None])               # [B,n_xc,nb,Lp]
+    U = jnp.min(terms, axis=2)                                 # [B, n_xc, Lp]
+    U = jnp.where(sited[:, None, :], U, jnp.int32(-1))
+    U_t = jnp.max(U.reshape(B, n_xc, -1, LANES), axis=3)       # [B,n_xc,tiles]
+    r = (jnp.floor(jnp.sqrt(jnp.maximum(U_t, 0).astype(jnp.float32)))
+         .astype(jnp.int32) + 1)
+    lo2 = jnp.maximum(lo[:, None, :], (a[None, :, None] - r))
+    hi2 = jnp.minimum(hi[:, None, :], (b_end[None, :, None] + 1 + r))
+    hi2 = jnp.maximum(hi2, lo2)
+    # kernel indexes [(b * n_tiles + lx) * n_xc + xc]
+    return (jnp.transpose(lo2, (0, 2, 1)).reshape(-1).astype(jnp.int32),
+            jnp.transpose(hi2, (0, 2, 1)).reshape(-1).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("n_payloads", "bands"))
+def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True):
+    """f int32 [B, N, L]; envelope along axis 1; outputs [B, N, L]."""
+    B, N, L = f.shape
+    idx_bits = (N - 1).bit_length() if N > 1 else 1
+    Lp = _round_up(L, LANES)
+    Np = _round_up(N, XC)
+    cap = (1 << (31 - idx_bits)) - 1
+
+    fp = jnp.pad(f, ((0, 0), (0, 0), (0, Lp - L)), constant_values=cap)
+    pp = [jnp.pad(p, ((0, 0), (0, 0), (0, Lp - L))) for p in payloads]
+
+    n_tiles = Lp // LANES
+    n_xc = Np // XC
+    act_s = jnp.any(fp.reshape(B, N, n_tiles, LANES) < cap, axis=3)
+    any_t = jnp.any(act_s, axis=1)                             # [B, tiles]
+    active = any_t.astype(jnp.int32).reshape(-1)
+    lo = jnp.where(any_t, jnp.argmax(act_s, axis=1), 0).astype(jnp.int32)
+    hi = jnp.where(any_t, N - jnp.argmax(act_s[:, ::-1], axis=1), 0
+                   ).astype(jnp.int32)
+    if bands:
+        lo, hi = _chunk_bands_batched(fp, N, n_tiles, n_xc, lo, hi,
+                                      jnp.int32(cap))
+    else:
+        lo = jnp.repeat(lo.reshape(-1), n_xc)
+        hi = jnp.repeat(hi.reshape(-1), n_xc)
+
+    grid = (B, n_tiles, n_xc)
+    site_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out_spec = pl.BlockSpec((1, XC, LANES), lambda b, lx, xc, *_: (b, xc, lx),
+                            memory_space=pltpu.VMEM)
+
+    n_out = 2 + n_payloads
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[site_spec] * (1 + n_payloads),
+        out_specs=tuple([out_spec] * n_out),
+        scratch_shapes=[pltpu.VMEM((N, LANES), jnp.int32)] * (1 + n_payloads)
+        + [pltpu.SemaphoreType.DMA((1 + n_payloads,))],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_envelope_mid_kernel, N, idx_bits, n_payloads,
+                          n_tiles, n_xc),
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B, Np, Lp), jnp.int32) for _ in range(n_out)
+        ),
+    )(active, lo, hi, fp, *pp)
+    return tuple(o[:, :N, :L] for o in outs)
+
+
+def envelope_mid_pallas(fsq, payloads=(), bands: bool = True):
+    """(best, site, *payloads) envelope along axis 1 of [B, N, ...]: the
+    batched middle-axis variant (outputs keep the input layout)."""
+    shape = fsq.shape
+    B, N = shape[0], shape[1]
+    L = 1
+    for s in shape[2:]:
+        L *= s
+    res = _envelope_mid_3d(
+        fsq.reshape(B, N, L),
+        tuple(p.reshape(B, N, L) for p in payloads),
+        n_payloads=len(payloads), bands=bands,
+    )
+    return tuple(r.reshape(shape) for r in res)
+
+
 def envelope_pallas(fsq, payloads=(), bands: bool = True):
     """Drop-in (best, site, *payloads) envelope over axis 0 of [N, ...]."""
     shape = fsq.shape

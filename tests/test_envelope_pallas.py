@@ -23,8 +23,10 @@ def interp(monkeypatch):
     monkeypatch.setattr(env_mod.pl, "pallas_call", patched)
     # the jit cache would return the compiled (non-interpret) version
     env_mod._envelope_2d._clear_cache()
+    env_mod._envelope_mid_3d._clear_cache()
     yield
     env_mod._envelope_2d._clear_cache()
+    env_mod._envelope_mid_3d._clear_cache()
 
 
 def _pack_valid(coc, valid):
@@ -80,6 +82,57 @@ def test_envelope_pallas_band_limited(interp):
     # siteless lanes: payload-valid bit must be 0 under BOTH implementations
     assert not (np.asarray(p1)[:, ~has_site] & 1).any()
     assert not (np.asarray(p0)[:, ~has_site] & 1).any()
+
+
+def test_envelope_mid_matches_flat(interp):
+    """The batched middle-axis kernel must agree with the flat kernel applied
+    to the transposed input, on every sited lane."""
+    rng = np.random.default_rng(13)
+    B, N, L = 9, 40, 150
+    big = 1 << 28
+    fsq = np.where(rng.random((B, N, L)) < 0.9, big,
+                   rng.integers(0, 700, (B, N, L))).astype(np.int32)
+    # leave batch 4 completely siteless, give batch 5 a single far site
+    fsq[4] = big
+    fsq[5] = big
+    fsq[5, 37, 90] = 123
+    valid = (fsq < big).astype(np.int32)
+    pay = _pack_valid(rng.integers(0, 200, (B, N, L)).astype(np.int32), valid)
+
+    f = jnp.asarray(fsq)
+    p = jnp.asarray(pay)
+    b1, s1, p1 = env_mod.envelope_mid_pallas(f, payloads=(p,))
+    # oracle: flat lower_envelope on [N, B, L]
+    b0, s0, p0 = lower_envelope(jnp.moveaxis(f, 1, 0),
+                                payloads=(jnp.moveaxis(p, 1, 0),), chunk=8)
+    b0 = np.moveaxis(np.asarray(b0), 0, 1)
+    s0 = np.moveaxis(np.asarray(s0), 0, 1)
+    p0 = np.moveaxis(np.asarray(p0), 0, 1)
+
+    has_site = valid.any(axis=1)  # [B, L]
+    m = np.repeat(has_site[:, None, :], N, axis=1)
+    np.testing.assert_array_equal(b0[m], np.asarray(b1)[m])
+    np.testing.assert_array_equal(s0[m], np.asarray(s1)[m])
+    np.testing.assert_array_equal(p0[m], np.asarray(p1)[m])
+    # siteless lanes: payload-valid bit 0 under both
+    assert not (np.asarray(p1)[~m & np.ones_like(m)] & 1).any() or True
+    assert not (np.asarray(p1)[np.repeat(~has_site[:, None, :], N, 1)] & 1).any()
+
+
+def test_batch_edt_mid_matches_default(interp):
+    """batch_edt(mid=True) (interpret-mode pallas) == batch_edt (dense)."""
+    from gie_mapping_tpu.ops.edt_batch import batch_edt
+
+    rng = np.random.default_rng(31)
+    shape = (24, 20, 12)
+    occ = (rng.random(shape) < 0.04)
+    glb = jnp.asarray(np.where(occ, 2, 0).astype(np.int8))
+    mw = sum(shape)
+    ref = batch_edt(glb, max_width=mw, pallas=False)
+    got = batch_edt(glb, max_width=mw, pallas=True, mid=True)
+    for k in ("dist_sq", "coc", "valid"):
+        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(got[k]),
+                                      err_msg=k)
 
 
 def test_envelope_pallas_multichunk_sparse(interp):

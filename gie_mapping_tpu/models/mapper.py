@@ -581,13 +581,83 @@ class VolumetricMapper:
         Returns the final frame's FrameOutput; `.per_frame` carries stacked
         [chunk] scalars (relax_iters, fnt_count, arch_dropped) of its chunk.
         """
-        from .pipeline import replay_frames
-
         cfg = self.cfg
         if not (cfg.raycast_mode == "projective" and cfg.fuse_raycast):
             raise ValueError(
                 "process_pointcloud_batch requires raycast_mode='projective' "
                 "and fuse_raycast (the in-scan sensor path)")
+        return self._process_batch(
+            projs, chunk=chunk, input_pointcloud=True, sensor_kind=None,
+            data={"points": points, "pts_valid": valids}, scalars=None,
+            fallback=lambda i: self.process_pointcloud(
+                projs[i], points[i], valids[i]))
+
+    def process_scan2d_batch(self, projs, ranges, theta_min, theta_inc,
+                             chunk: int = 10):
+        """Batched 2-D LiDAR replay (see process_pointcloud_batch).  `ranges`
+        is [K, n_beams] (device or host); theta_min/theta_inc are scalars or
+        [K] arrays."""
+        K = len(projs)
+        sc = self._sensor_scalars(K, [np.broadcast_to(theta_min, K),
+                                      np.broadcast_to(theta_inc, K)])
+        data = jnp.asarray(ranges, jnp.float32)
+        return self._process_batch(
+            projs, chunk=chunk, input_pointcloud=False, sensor_kind="scan",
+            data={"sensor_data": data}, scalars=sc,
+            fallback=lambda i: self.process_scan2d(
+                projs[i], data[i], float(sc[i, 0, 0]), float(sc[i, 0, 1])))
+
+    def process_depth_batch(self, projs, depths, fx, fy, cx, cy,
+                            chunk: int = 10):
+        """Batched depth-camera replay.  `depths` is [K, H, W]; intrinsics
+        are scalars or [K] arrays."""
+        K = len(projs)
+        sc = self._sensor_scalars(
+            K, [np.broadcast_to(fx, K), np.broadcast_to(fy, K),
+                np.broadcast_to(cx, K)], [np.broadcast_to(cy, K)])
+        data = jnp.asarray(depths, jnp.float32)
+        return self._process_batch(
+            projs, chunk=chunk, input_pointcloud=False, sensor_kind="depth",
+            data={"sensor_data": data}, scalars=sc,
+            fallback=lambda i: self.process_depth(
+                projs[i], data[i], float(sc[i, 0, 0]), float(sc[i, 0, 1]),
+                float(sc[i, 0, 2]), float(sc[i, 1, 0])))
+
+    def process_multiscan_batch(self, projs, rings, theta_min, theta_inc,
+                                phi_min, phi_inc, chunk: int = 10):
+        """Batched 3-D spinning-LiDAR replay.  `rings` is
+        [K, ring_num, scan_num]; bin geometry scalars or [K] arrays."""
+        K = len(projs)
+        sc = self._sensor_scalars(
+            K, [np.broadcast_to(theta_min, K), np.broadcast_to(theta_inc, K),
+                np.broadcast_to(phi_min, K)], [np.broadcast_to(phi_inc, K)])
+        data = jnp.asarray(rings, jnp.float32)
+        return self._process_batch(
+            projs, chunk=chunk, input_pointcloud=False,
+            sensor_kind="multiscan", data={"sensor_data": data}, scalars=sc,
+            fallback=lambda i: self.process_multiscan(
+                projs[i], data[i], float(sc[i, 0, 0]), float(sc[i, 0, 1]),
+                float(sc[i, 0, 2]), float(sc[i, 1, 0])))
+
+    @staticmethod
+    def _sensor_scalars(K, row0, row1=()):
+        """[K,2,3] per-frame sensor scalar block (pose rows 7-8)."""
+        sc = np.zeros((K, 2, 3), np.float32)
+        for c, v in enumerate(row0):
+            sc[:, 0, c] = v
+        for c, v in enumerate(row1):
+            sc[:, 1, c] = v
+        return sc
+
+    def _process_batch(self, projs, *, chunk, input_pointcloud, sensor_kind,
+                       data, scalars, fallback):
+        """Shared scanned-replay driver for all four sensor pipelines:
+        plans chunk runs (scroll decisions + compact bounds), dispatches
+        pipeline.replay_frames per run, falls back to `fallback(i)` for
+        frames a scan cannot absorb (first frame, teleports, tails)."""
+        from .pipeline import replay_frames
+
+        cfg = self.cfg
         K = len(projs)
         cb = np.asarray(cfg.canvas_blocks, np.int64)
         # small canvases can't fill the compacted buckets: the full-canvas
@@ -623,7 +693,7 @@ class VolumetricMapper:
             if len(plan) < chunk:
                 # violation or tail: per-frame path for the next frame, then
                 # re-plan (fixed chunk size keeps the jit cache at one entry)
-                result = self.process_pointcloud(projs[i], points[i], valids[i])
+                result = fallback(i)
                 i += 1
                 continue
 
@@ -635,15 +705,23 @@ class VolumetricMapper:
                 pose_h[k, 0], pose_h[k, 1], pose_h[k, 2] = pvt, origin_blk, off
                 pose_h[k, 3:6] = np.asarray(projs[idx].rot, np.float32)
                 pose_h[k, 6] = np.asarray(projs[idx].trans, np.float32)
+                if scalars is not None:
+                    pose_h[k, 7:9] = scalars[idx]
                 scrolled[k] = scr
             fence, fence_on = self._fence_args(plan[0][0])
             start_origin = (self._origin if self._origin is not None
                             else np.asarray(self.state.origin_blk))
+            if sensor_kind is None:
+                extra = {"points": data["points"][i:i + n],
+                         "pts_valid": data["pts_valid"][i:i + n],
+                         "fuse_raycast": True}
+            else:
+                extra = {"sensor_data": data["sensor_data"][i:i + n],
+                         "sensor_kind": sensor_kind}
             self.state, out, changed_union, per_frame = replay_frames(
                 self.state, jnp.asarray(pose_h), jnp.asarray(scrolled), *fence,
-                points=points[i:i + n], pts_valid=valids[i:i + n],
-                cfg=cfg, input_pointcloud=True, use_fence=fence_on,
-                fuse_raycast=True, compact_rows=cr, compact_cols=cc)
+                cfg=cfg, input_pointcloud=input_pointcloud, use_fence=fence_on,
+                compact_rows=cr, compact_cols=cc, **extra)
             last = plan[-1]
             self._origin = np.asarray(last[1]).copy()
             self.map_ct += n

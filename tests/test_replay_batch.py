@@ -80,6 +80,51 @@ def test_replay_batch_compacted_scroll():
     assert m_bat.map_ct == 8
 
 
+def test_replay_batch_scan2d_sensor_kind():
+    """The in-scan fused projection-sensor path (sensor_kind='scan') must be
+    bit-identical to the per-frame loop."""
+    from gie_mapping_tpu.utils.config import scan2d_config
+
+    cfg = scan2d_config(local_size_m=(4.8, 4.8, 1.2), voxel_width=0.2,
+                        cutoff_dist=1.0, max_blocks=1024)
+    world = BoxWorld.corridor(seed=5, n_pillars=4, extent=3.0)
+    poses = _linear_poses(7, step=0.45)
+    scans = [world.scan_2d(p, n_beams=120) for p in poses]
+
+    m_ref = VolumetricMapper(cfg)
+    for p, (rng_, tmin, tinc) in zip(poses, scans):
+        out_ref = m_ref.process_scan2d(p, rng_, tmin, tinc)
+
+    m_bat = VolumetricMapper(cfg)
+    ranges = np.stack([s[0] for s in scans])
+    out_bat = m_bat.process_scan2d_batch(poses, ranges, scans[0][1],
+                                         scans[0][2], chunk=3)
+    _assert_equal(m_ref, out_ref, m_bat, out_bat)
+
+
+def test_replay_batch_depth_sensor_kind():
+    """Same for the depth-camera pipeline (sensor_kind='depth')."""
+    from gie_mapping_tpu.utils.config import depthcam_config
+
+    cfg = depthcam_config(local_size_m=(4.0, 4.0, 1.6), voxel_width=0.2,
+                          cutoff_dist=1.0, max_blocks=1024)
+    world = BoxWorld.corridor(seed=7, n_pillars=4, extent=3.0, height=2.0)
+    poses = _linear_poses(7, step=0.45)
+    fx = fy = 20.0
+    cx, cy = 16.0, 12.0
+    depths = [world.depth_image(p, 24, 32, fx, fy, cx, cy)[0]
+              for p in poses]
+
+    m_ref = VolumetricMapper(cfg)
+    for p, d in zip(poses, depths):
+        out_ref = m_ref.process_depth(p, d, fx, fy, cx, cy)
+
+    m_bat = VolumetricMapper(cfg)
+    out_bat = m_bat.process_depth_batch(poses, np.stack(depths), fx, fy,
+                                        cx, cy, chunk=3)
+    _assert_equal(m_ref, out_ref, m_bat, out_bat)
+
+
 def test_replay_batch_teleport_falls_back():
     """A teleport mid-batch exceeds the compact bounds: the planner must
     split around it and still match the per-frame loop."""

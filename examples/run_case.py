@@ -105,6 +105,11 @@ def main():
                          "measured loop (engine time, not link time: a "
                          "deployment's sensor DMA is local GB/s, this "
                          "zero-egress relay is ~30 MB/s)")
+    ap.add_argument("--merge-mode", choices=["canvas_edt", "relax"],
+                    default=None,
+                    help="override the incremental-EDT engine (default: the "
+                         "case preset; 'relax' is the reference-mirroring "
+                         "wavefront engine)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -113,6 +118,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     cfg = load_config(args.case)
+    if args.merge_mode is not None:
+        cfg = cfg.replace(merge_mode=args.merge_mode)
     if args.profile:
         cfg = cfg.replace(profile_loc_rms=True)
     if args.staged:

@@ -230,10 +230,18 @@ def merge_frame_impl(
         dist = _uncrop(state.dist_sq, seed_dist, win_off)
         coc = _uncrop(state.coc, seed_coc, win_off)
 
-        # raise: invalidate disappeared obstacles (wave A)
+        # raise: invalidate disappeared obstacles (wave A) — a dense
+        # coc-equality wave over the STALE canvas coc field (gather-free)
+        raised = None
         if not cfg.fast_mode:
-            dist, coc, _ = invalidate_disappeared(
-                dist, coc, outside_observed, glb_type, pvt, local_size
+            from ..utils.constants import VOX_OCCUPIED
+
+            dead_win = ((win(old_type) == VOX_OCCUPIED)
+                        & (glb_type != VOX_OCCUPIED)
+                        & (glb_type != VOX_UNKNOWN))
+            dist, coc, raised = invalidate_disappeared(
+                dist, coc, outside_observed, state.coc, dead_win, win_off,
+                max_sweeps=cfg.relax_iters,
             )
 
         # lower in/out fixed point (waves B + C)
@@ -268,10 +276,20 @@ def merge_frame_impl(
         final_dist = jnp.where(take, dist, state.dist_sq)
         final_coc = jnp.where(take[..., None], coc, state.coc)
     else:
-        final_dist = _uncrop(dist, jnp.where(writeback, dist_win, win(old_dist)),
+        # write-back fallback for pair-invalid window voxels: the OLD stored
+        # value, except where the raise wave invalidated it (the reference's
+        # wave mutates the hash in place, so a raised voxel without a fresh
+        # valid pair stays raised)
+        old_dist_win = win(old_dist)
+        old_coc_win = win(state.coc)
+        if raised is not None:
+            rw = win(raised)
+            old_dist_win = jnp.where(rw, EMPTY_VALUE, old_dist_win)
+            old_coc_win = jnp.where(rw[..., None], COC_INVALID16, old_coc_win)
+        final_dist = _uncrop(dist, jnp.where(writeback, dist_win, old_dist_win),
                              win_off)
         final_coc = _uncrop(coc, jnp.where(writeback[..., None], coc_win,
-                                           win(state.coc)), win_off)
+                                           old_coc_win), win_off)
     vt_win = jnp.where(fnt & writeback, jnp.int8(VOX_FNT), new_type_win)
     canvas_type = _uncrop(canvas_type, vt_win, win_off)
 

@@ -190,6 +190,12 @@ def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True):
     else:  # per-tile slab only (A/B baseline)
         lo = jnp.repeat(lo, n_xc)
         hi = jnp.repeat(hi, n_xc)
+    # Mosaic DMA slices must be 8-sublane aligned: pad the SITE axis with
+    # cap rows (every [lo, hi) band stays <= N, so results are unchanged)
+    N8 = _round_up(N, 8)
+    if N8 != N:
+        fp = jnp.pad(fp, ((0, N8 - N), (0, 0)), constant_values=cap)
+        pp = [jnp.pad(p, ((0, N8 - N), (0, 0))) for p in pp]
 
     grid = (n_tiles, n_xc)
     site_spec = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM; manual DMA
@@ -202,7 +208,7 @@ def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True):
         grid=grid,
         in_specs=[site_spec] * (1 + n_payloads),
         out_specs=tuple([out_spec] * n_out),
-        scratch_shapes=[pltpu.VMEM((N, LANES), jnp.int32)] * (1 + n_payloads)
+        scratch_shapes=[pltpu.VMEM((N8, LANES), jnp.int32)] * (1 + n_payloads)
         + [pltpu.SemaphoreType.DMA((1 + n_payloads,))],
     )
     outs = pl.pallas_call(
@@ -350,6 +356,10 @@ def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True):
     else:
         lo = jnp.repeat(lo.reshape(-1), n_xc)
         hi = jnp.repeat(hi.reshape(-1), n_xc)
+    N8 = _round_up(N, 8)  # Mosaic DMA slices need 8-sublane alignment
+    if N8 != N:
+        fp = jnp.pad(fp, ((0, 0), (0, N8 - N), (0, 0)), constant_values=cap)
+        pp = [jnp.pad(p, ((0, 0), (0, N8 - N), (0, 0))) for p in pp]
 
     grid = (B, n_tiles, n_xc)
     site_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -362,7 +372,7 @@ def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True):
         grid=grid,
         in_specs=[site_spec] * (1 + n_payloads),
         out_specs=tuple([out_spec] * n_out),
-        scratch_shapes=[pltpu.VMEM((N, LANES), jnp.int32)] * (1 + n_payloads)
+        scratch_shapes=[pltpu.VMEM((N8, LANES), jnp.int32)] * (1 + n_payloads)
         + [pltpu.SemaphoreType.DMA((1 + n_payloads,))],
     )
     outs = pl.pallas_call(

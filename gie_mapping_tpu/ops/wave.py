@@ -90,20 +90,72 @@ def reconcile_window(batch, canvas_dist_win, canvas_coc_win, glb_type, pvt, loca
     return seed_dist, seed_coc
 
 
-def invalidate_disappeared(dist, coc, outside_mask, glb_type, pvt, local_size):
-    """raise_outside trigger (wave_core.cuh:172-194): outside voxels whose
-    stored closest obstacle lies inside the window but is no longer occupied
-    are reset to unseen."""
-    coc_valid = coc[..., 0] != COC_INVALID16
-    coc_loc = jnp.where(coc_valid[..., None], coc.astype(jnp.int32) - pvt, 0)
-    size = jnp.asarray(local_size, jnp.int32)
-    in_win = geo.inside_volume(coc_loc, size) & coc_valid
-    cl = jnp.clip(coc_loc, 0, size - 1)
-    still_occ = glb_type[cl[..., 0], cl[..., 1], cl[..., 2]] == VOX_OCCUPIED
-    inval = outside_mask & in_win & ~still_occ
+def invalidate_disappeared(dist, coc, outside_mask, stale_coc, dead_win,
+                           win_off, *, max_sweeps: int,
+                           sweeps_per_check: int = 4):
+    """raise_outside as a dense coc-equality wave (wave_core.cuh:103-224).
+
+    The reference raises a node and propagates to any neighbour whose stored
+    closest obstacle is the SAME disappeared site (wave_core.cuh:172-194).
+    That is exactly a flood over the stale coc field: seed at the dead sites'
+    own voxels, and each sweep extends the raised set to 6-neighbours whose
+    stale coc equals the raised voxel's.  This keeps the raise pass entirely
+    gather-free — the previous formulation looked up `glb_type[coc[v]]` per
+    canvas voxel, a canvas-sized XLA gather with a pathological per-index
+    floor on TPU.  Faithfulness note: like the reference's wave (and unlike
+    the old one-shot lookup), only stale-coc-CONNECTED voxels are reached;
+    disconnected fragments of a dead site's discrete Voronoi cell keep their
+    stale value until re-lowered.
+
+    Args:
+      dist/coc: canvas arrays (window already re-seeded; outside stale).
+      outside_mask: bool canvas — voxels eligible for invalidation.
+      stale_coc: int16 canvas coc field BEFORE window re-seeding (the wave
+                 must cross the window boundary on stale pointers).
+      dead_win: bool [local] — window voxels occupied before, not now.
+      max_sweeps: static propagation bound (>= raise region diameter).
+
+    Returns (dist, coc, inval_mask).
+    """
+    canvas_size = dist.shape
+    dead_canvas = jax.lax.dynamic_update_slice(
+        jnp.zeros(canvas_size, jnp.bool_), dead_win,
+        (win_off[0], win_off[1], win_off[2]))
+    coc_valid = stale_coc[..., 0] != COC_INVALID16
+
+    def sweep(raised):
+        out = raised
+        for axis in range(3):
+            for sign in (1, -1):
+                n_r = _shift_fill(raised, axis, sign, False)
+                n_c = _shift_fill(stale_coc, axis, sign, COC_INVALID16)
+                same = jnp.all(stale_coc == n_c, axis=-1)
+                out = out | (n_r & same & coc_valid)
+        return out
+
+    def body(state):
+        raised, it, _ = state
+        new = raised
+        for _ in range(sweeps_per_check):
+            new = sweep(new)
+        return new, it + sweeps_per_check, jnp.any(new != raised)
+
+    def cond(state):
+        _, it, changed = state
+        return changed & (it < max_sweeps)
+
+    raised, _, _ = jax.lax.while_loop(
+        cond, body, (dead_canvas, jnp.int32(0), jnp.bool_(True)))
+
+    # outside voxels are invalidated in the working arrays (the window part
+    # already holds this frame's fresh seeds); the caller must ALSO apply
+    # `raised` to whatever old values its write-back gating can resurrect —
+    # the reference's wave mutates the hash in place, so raised in-window
+    # voxels without a fresh valid pair stay raised (wave_core.cuh:196-212)
+    inval = raised & outside_mask
     dist = jnp.where(inval, EMPTY_VALUE, dist)
     coc = jnp.where(inval[..., None], COC_INVALID16, coc)
-    return dist, coc, inval
+    return dist, coc, raised
 
 
 @partial(jax.jit, static_argnames=("canvas_size", "max_iters", "cutoff_sq",

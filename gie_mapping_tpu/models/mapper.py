@@ -668,10 +668,20 @@ class VolumetricMapper:
         cc = self.REPLAY_COLS if use_compact else None
         result = None
         i = 0
+
+        def _fence_key(pvt):
+            # fence-box activation is window-position dependent
+            # (_fence_args); a scanned chunk holds it constant, so chunks
+            # must break where the per-frame path would see it change
+            win_ll = pvt.astype(np.float32) * cfg.voxel_width
+            win_ur = win_ll + np.asarray(cfg.local_size_m, np.float32)
+            return self.ext_obs.activate(win_ll, win_ur).tobytes()
+
         while i < K:
             # plan a run of `chunk` frames whose scrolls fit the bounds
             prev = None if self._origin is None else self._origin.copy()
             plan = []
+            fkey0 = None
             j = i
             while j < K and len(plan) < chunk:
                 pvt, origin_blk, off = self._frame_geometry(
@@ -686,6 +696,11 @@ class VolumetricMapper:
                         if (rows is None or rows > self.REPLAY_ROWS
                                 or cols > self.REPLAY_COLS):
                             break  # teleport-scale scroll
+                fkey = _fence_key(pvt)
+                if fkey0 is None:
+                    fkey0 = fkey
+                elif fkey != fkey0:
+                    break  # fence activation flips mid-chunk
                 plan.append((pvt, origin_blk, off, scroll, j))
                 if scroll:
                     prev = origin_blk.copy()

@@ -125,6 +125,39 @@ def test_replay_batch_depth_sensor_kind():
     _assert_equal(m_ref, out_ref, m_bat, out_bat)
 
 
+def test_replay_batch_fence_activation_flip():
+    """A fence box whose window-overlap activation flips mid-trajectory: the
+    chunk planner must split there and stay bit-identical to the per-frame
+    loop (which re-evaluates activation every frame)."""
+    cfg = cow_lady_config(
+        voxel_width=0.2, local_size_m=(4.0, 4.0, 1.6), cutoff_dist=1.0,
+        max_blocks=1024, max_raycast_points=256, fuse_raycast=True,
+        display_glb_edt=False, display_glb_ogm=False)
+    world = BoxWorld.corridor(seed=3, n_pillars=5, extent=3.0, height=2.0)
+    poses = _linear_poses(8)
+    clouds = [world.pointcloud(p, n_rays=256, max_range=6.0, seed=i)
+              for i, p in enumerate(poses)]
+    # a fence box that only the later windows overlap
+    box_ll = np.asarray([3.0, -0.5, 0.0], np.float32)
+    box_ur = np.asarray([3.6, 0.8, 1.4], np.float32)
+
+    m_ref = VolumetricMapper(cfg)
+    m_ref.ext_obs.append(box_ll, box_ur)
+    pts, val = m_ref.stage_pointcloud_batch(clouds)
+    for i, p in enumerate(poses):
+        out_ref = m_ref.process_pointcloud(p, pts[i], val[i])
+
+    m_bat = VolumetricMapper(cfg)
+    m_bat.ext_obs.append(box_ll, box_ur)
+    pts_b, val_b = m_bat.stage_pointcloud_batch(clouds)
+    out_bat = m_bat.process_pointcloud_batch(poses, pts_b, val_b, chunk=3)
+    _assert_equal(m_ref, out_ref, m_bat, out_bat)
+    # the box must actually have been active at some point for this test to
+    # mean anything
+    assert any(m_ref.ext_obs.activate(
+        p.trans * 1.0 - 2.0, p.trans * 1.0 + 2.0).any() for p in poses)
+
+
 def test_replay_batch_teleport_falls_back():
     """A teleport mid-batch exceeds the compact bounds: the planner must
     split around it and still match the per-frame loop."""

@@ -10,11 +10,12 @@ and their seeding/merge kernels (unify_helper.cuh:201-523):
   by repeated dense 6-neighbour (dist, coc) min-relaxation over the "canvas"
   (window + cutoff halo) inside `lax.while_loop`, converging when one sweep
   changes nothing (`psum`-able on a mesh) — SURVEY.md §2 P3/P4.
-* raise_outside (obstacle disappeared) becomes a single vectorised
-  invalidation pass: every outside voxel whose stored closest obstacle lies in
-  the window but is no longer occupied is reset to "unseen", then re-lowered
-  by the relaxation together with everything else.  This reaches at least the
-  set of voxels the reference's raise wave reaches.
+* raise_outside (obstacle disappeared) becomes a dense coc-equality flood
+  over the stale coc field — the reference's own propagation rule
+  (neighbour raises iff it stores the SAME dead obstacle,
+  wave_core.cuh:172-194) applied as shift-compare sweeps, entirely
+  gather-free; raised voxels are reset to "unseen" and re-lowered by the
+  relaxation together with everything else.
 * The per-level host readbacks of frontier counts (wave_helper.h:23,82) are
   gone: convergence is an on-device reduction, the whole merge is one XLA
   program.

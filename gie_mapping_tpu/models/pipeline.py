@@ -479,7 +479,7 @@ def _out_template(cfg: MapConfig):
 @partial(jax.jit,
          static_argnames=("cfg", "input_pointcloud", "use_fence",
                           "fuse_raycast", "sensor_kind", "compact_rows",
-                          "compact_cols"),
+                          "compact_cols", "mesh"),
          donate_argnums=(0,))
 def replay_frames(state, poses, scrolled, fence_ll, fence_ur, fence_active,
                   fence_n, inst_type=None, ray_count=None, points=None,
@@ -488,7 +488,7 @@ def replay_frames(state, poses, scrolled, fence_ll, fence_ur, fence_active,
                   use_fence: bool = True, fuse_raycast: bool = False,
                   sensor_kind: str | None = None,
                   compact_rows: int | None = None,
-                  compact_cols: int | None = None):
+                  compact_cols: int | None = None, mesh=None):
     """Throughput/replay mode: K frames in ONE jitted `lax.scan` program.
 
     The per-frame entries (frame_step / scroll_frame_step) pay one
@@ -547,8 +547,9 @@ def replay_frames(state, poses, scrolled, fence_ll, fence_ur, fence_active,
             inst, cnt = xs["inst_type"], xs["ray_count"]
         s, out = merge_frame_impl(
             s, inst, cnt, pvt, origin_blk, off, *fence,
-            cfg=cfg, input_pointcloud=input_pointcloud, do_scroll=False,
-            use_fence=use_fence, fuse_raycast=fuse_raycast, **kw)
+            cfg=cfg, input_pointcloud=input_pointcloud, mesh=mesh,
+            do_scroll=False, use_fence=use_fence, fuse_raycast=fuse_raycast,
+            **kw)
         changed_union = changed_union | out["changed_blk"]
         ys = {k: out[k] for k in ("relax_iters", "fnt_count", "arch_dropped")}
         return (s, out, changed_union), ys

@@ -70,3 +70,39 @@ def test_sharded_relax_engine_matches():
     shd = _run(cfg, make_mesh(8), n_frames=2)
     for a, b in zip(ref, shd):
         np.testing.assert_array_equal(a["dist_sq"], b["dist_sq"])
+
+
+def test_sharded_replay_matches():
+    """The scanned replay program over an 8-device mesh must be bit-identical
+    to the unsharded scan (in-scan scroll included)."""
+    from gie_mapping_tpu.models.pipeline import replay_frames
+
+    cfg = _cfg()
+
+    def run(mesh):
+        gmap = MapState.create(cfg)
+        if mesh is not None:
+            gmap = shard_state(gmap, mesh)
+        K = 3
+        poses = np.zeros((K, 9, 3), np.float32)
+        scrolled = np.zeros(K, bool)
+        insts = np.stack([_inst(cfg, i) for i in range(K)])
+        prev = None
+        for i in range(K):
+            pvt = np.asarray([4 * i, 0, 0], np.int32)
+            origin_blk, _, off = canvas_geometry(cfg, pvt)
+            poses[i, 0], poses[i, 1], poses[i, 2] = pvt, origin_blk, off
+            scrolled[i] = prev is None or not np.array_equal(prev, origin_blk)
+            prev = origin_blk
+        gmap, out, changed, per_frame = replay_frames(
+            gmap, jnp.asarray(poses), jnp.asarray(scrolled), *_fence(cfg),
+            inst_type=jnp.asarray(insts),
+            ray_count=jnp.zeros((K,) + cfg.local_size, jnp.int32),
+            cfg=cfg, input_pointcloud=False, mesh=mesh)
+        return {k: np.asarray(out[k]) for k in ("edt", "glb_type", "dist_sq")}
+
+    ref = run(None)
+    shd = run(make_mesh(8))
+    for k in ("glb_type", "dist_sq"):
+        np.testing.assert_array_equal(ref[k], shd[k], err_msg=k)
+    np.testing.assert_allclose(ref["edt"], shd["edt"], rtol=1e-6)

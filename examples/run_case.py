@@ -110,6 +110,10 @@ def main():
                     help="override the incremental-EDT engine (default: the "
                          "case preset; 'relax' is the reference-mirroring "
                          "wavefront engine)")
+    ap.add_argument("--batch", type=int, default=0, metavar="K",
+                    help="scanned-replay mode: dispatch frames as lax.scan "
+                         "chunks of K (process_*_batch; bit-identical to the "
+                         "per-frame loop)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -120,6 +124,8 @@ def main():
     cfg = load_config(args.case)
     if args.merge_mode is not None:
         cfg = cfg.replace(merge_mode=args.merge_mode)
+    if args.batch:
+        cfg = cfg.replace(fuse_raycast=True)  # batch pointcloud path needs it
     if args.profile:
         cfg = cfg.replace(profile_loc_rms=True)
     if args.staged:
@@ -172,9 +178,46 @@ def main():
             return mapper.process_multiscan(proj, *payload)
         raise KeyError(kind)
 
+    run_batch = None
+    if args.batch:
+        import jax.numpy as jnp
+
+        projs_b = [p for p, _ in src]
+        kind0 = src[0][1][0]
+        pls = [pl for _, (_, pl) in src]
+
+        def scal(idx):
+            return np.asarray([float(pl[idx]) for pl in pls], np.float32)
+
+        if kind0 == "pointcloud":
+            if args.staged:  # already-staged (points, valid) pairs
+                pts_b = jnp.stack([pl[0] for pl in pls])
+                val_b = jnp.stack([pl[1] for pl in pls])
+            else:
+                pts_b, val_b = mapper.stage_pointcloud_batch(pls)
+            run_batch = lambda: mapper.process_pointcloud_batch(
+                projs_b, pts_b, val_b, chunk=args.batch)
+        else:
+            data = jnp.asarray(
+                np.stack([np.asarray(pl[0], np.float32) for pl in pls]))
+            if kind0 == "scan":
+                run_batch = lambda: mapper.process_scan2d_batch(
+                    projs_b, data, scal(1), scal(2), chunk=args.batch)
+            elif kind0 == "depth":
+                run_batch = lambda: mapper.process_depth_batch(
+                    projs_b, data, scal(1), scal(2), scal(3), scal(4),
+                    chunk=args.batch)
+            elif kind0 == "multiscan":
+                run_batch = lambda: mapper.process_multiscan_batch(
+                    projs_b, data, scal(1), scal(2), scal(3), scal(4),
+                    chunk=args.batch)
+
     for proj, (kind, payload) in warm:  # compile frame+scroll programs
         out = dispatch(proj, kind, payload)
     if warm:
+        out.fetch()
+    if run_batch is not None and warm:  # compile the scan program untimed
+        out = run_batch()
         out.fetch()
     # staged mode: several passes, best one — late-appearing program variants
     # (e.g. the first ordinary scroll) trace/compile inside pass 1, and the
@@ -183,10 +226,14 @@ def main():
     wall = float("inf")
     for _pass in range(n_passes):
         t0 = time.perf_counter()
-        n = 0
-        for proj, (kind, payload) in src:
-            out = dispatch(proj, kind, payload)
-            n += 1
+        if run_batch is not None:
+            out = run_batch()
+            n = len(src)
+        else:
+            n = 0
+            for proj, (kind, payload) in src:
+                out = dispatch(proj, kind, payload)
+                n += 1
         out.fetch()
         dt = time.perf_counter() - t0
         print(f"pass {_pass}: {dt*1e3/max(n,1):.2f} ms/frame", file=sys.stderr)

@@ -34,7 +34,13 @@ import jax.numpy as jnp
 
 from ..utils.constants import EMPTY_VALUE, INVALID_COC, VOX_OCCUPIED
 
-_BIG = jnp.int32(1 << 28)  # "infinite" squared cost; safe from int32 overflow
+# "infinite" squared cost; safe from int32 overflow.  Deliberately a numpy
+# scalar: a module-level jnp constant would initialise the JAX backend at
+# import time (hanging imports when the remote TPU plugin is unreachable and
+# defeating later jax_platforms switches).
+import numpy as _np
+
+_BIG = _np.int32(1 << 28)
 
 
 def _phase1_along_y(occ, max_width):

@@ -158,6 +158,42 @@ def test_replay_batch_fence_activation_flip():
         p.trans * 1.0 - 2.0, p.trans * 1.0 + 2.0).any() for p in poses)
 
 
+def test_replay_batch_streaming_mirror():
+    """Changed-block streaming at chunk cadence (union of changed blocks)
+    must leave the host mirror with the same content as the per-frame loop
+    once the world is static (every changed block streamed with final
+    state)."""
+    cfg = cow_lady_config(
+        voxel_width=0.2, local_size_m=(4.0, 4.0, 1.6), cutoff_dist=1.0,
+        max_blocks=1024, max_raycast_points=256, fuse_raycast=True,
+        display_glb_ogm=True, display_glb_edt=True, vis_interval=1)
+    world = BoxWorld.corridor(seed=3, n_pillars=5, extent=3.0, height=2.0)
+    pose = geo.Projection(rot=np.eye(3, dtype=np.float32),
+                          trans=np.asarray([0.0, 0.0, 0.9], np.float32))
+    cloud = world.pointcloud(pose, n_rays=256, max_range=6.0, seed=1)
+    K = 6  # static world: occupancy/EDT settle after a couple of frames
+
+    m_ref = VolumetricMapper(cfg)
+    pts, val = m_ref.stage_pointcloud_batch([cloud] * K)
+    for i in range(K):
+        m_ref.process_pointcloud(pose, pts[i], val[i])
+    m_ref.flush_stream()
+
+    m_bat = VolumetricMapper(cfg)
+    pts_b, val_b = m_bat.stage_pointcloud_batch([cloud] * K)
+    m_bat.process_pointcloud_batch([pose] * K, pts_b, val_b, chunk=5)
+    m_bat.flush_stream()
+
+    assert m_ref.mirror is not None and m_bat.mirror is not None
+    assert set(m_ref.mirror.blocks) == set(m_bat.mirror.blocks)
+    assert len(m_ref.mirror) > 0
+    for key, blk in m_ref.mirror.blocks.items():
+        for f in ("occ_val", "vox_type", "dist_sq", "coc"):
+            np.testing.assert_array_equal(
+                blk[f], m_bat.mirror.blocks[key][f],
+                err_msg=f"mirror[{key}][{f}]")
+
+
 def test_replay_batch_teleport_falls_back():
     """A teleport mid-batch exceeds the compact bounds: the planner must
     split around it and still match the per-frame loop."""

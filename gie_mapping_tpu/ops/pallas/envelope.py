@@ -40,8 +40,8 @@ def _round_up(v, m):
     return (v + m - 1) // m * m
 
 
-def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, active_ref, lo_ref,
-                     hi_ref, f_hbm, *refs):
+def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, mono, active_ref,
+                     lo_ref, hi_ref, f_hbm, *refs):
     """Site operands stay in HBM; the active branch DMAs one [N,128] lane
     tile into VMEM scratch (once per lane tile — xc==0 runs first), so
     skipped tiles pay neither compute nor fetch.
@@ -60,6 +60,7 @@ def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, active_ref, lo_ref,
     out_site = refs[n_payloads + 1]
     out_pays = refs[n_payloads + 2: n_payloads + 2 + n_payloads]
     scratch = refs[2 * n_payloads + 2: 2 * n_payloads + 3 + n_payloads]
+    carry = refs[-2]
     sem = refs[-1]
 
     lx = pl.program_id(0)
@@ -82,6 +83,7 @@ def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, active_ref, lo_ref,
 
         @pl.when(xc == 0)  # first x-chunk of this lane tile: fetch sites
         def _():
+            carry[0] = 0
             for j, (src, dst) in enumerate(
                 [(f_hbm, f_vmem)] + list(zip(pay_hbm, pay_vmem))
             ):
@@ -99,11 +101,23 @@ def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, active_ref, lo_ref,
             packed = (cand << idx_bits) | i
             return jnp.minimum(acc, packed)
 
-        acc = jax.lax.fori_loop(lo_ref[lx * n_xc + xc], hi_ref[lx * n_xc + xc],
-                                body, init)
+        # winner-monotonicity carry: the envelope's argmin is non-decreasing
+        # in x, so the previous chunk's last-row winner (min over lanes whose
+        # winner is a real site) lower-bounds every winner in this chunk —
+        # tightening the coarse-to-fine band's lo from below
+        lo = lo_ref[lx * n_xc + xc]
+        if mono:
+            lo = jnp.maximum(lo, carry[0])
+        hi = hi_ref[lx * n_xc + xc]
+        acc = jax.lax.fori_loop(lo, hi, body, init)
         site = acc & ((1 << idx_bits) - 1)
-        out_best[:, :] = acc >> idx_bits
+        best = acc >> idx_bits
+        out_best[:, :] = best
         out_site[:, :] = site
+        if mono:
+            last_sited = best[XC - 1, :] < cap
+            carry[0] = jnp.min(
+                jnp.where(last_sited, site[XC - 1, :], jnp.int32(n_sites)))
 
         if n_payloads:
             inits = tuple(jnp.zeros((XC, LANES), jnp.int32) for _ in range(n_payloads))
@@ -115,8 +129,7 @@ def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, active_ref, lo_ref,
                     for k in range(n_payloads)
                 )
 
-            sels = jax.lax.fori_loop(lo_ref[lx * n_xc + xc],
-                                     hi_ref[lx * n_xc + xc], pay_body, inits)
+            sels = jax.lax.fori_loop(lo, hi, pay_body, inits)
             for k in range(n_payloads):
                 out_pays[k][:, :] = sels[k]
 
@@ -166,8 +179,9 @@ def _chunk_bands(fp, N, n_tiles, n_xc, lo, hi, big):
             jnp.transpose(hi2).reshape(-1).astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("n_payloads", "bands"))
-def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True):
+@functools.partial(jax.jit, static_argnames=("n_payloads", "bands", "mono"))
+def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True,
+                 mono: bool = False):
     """fsq int32 [N, L]; payloads tuple of int32 [N, L]."""
     N, L = fsq.shape
     idx_bits = (N - 1).bit_length() if N > 1 else 1
@@ -209,10 +223,12 @@ def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True):
         in_specs=[site_spec] * (1 + n_payloads),
         out_specs=tuple([out_spec] * n_out),
         scratch_shapes=[pltpu.VMEM((N8, LANES), jnp.int32)] * (1 + n_payloads)
-        + [pltpu.SemaphoreType.DMA((1 + n_payloads,))],
+        + [pltpu.SMEM((1,), jnp.int32),
+           pltpu.SemaphoreType.DMA((1 + n_payloads,))],
     )
     outs = pl.pallas_call(
-        functools.partial(_envelope_kernel, N, idx_bits, n_payloads, n_xc),
+        functools.partial(_envelope_kernel, N, idx_bits, n_payloads, n_xc,
+                          mono),
         grid_spec=grid_spec,
         out_shape=tuple(
             jax.ShapeDtypeStruct((Np, Lp), jnp.int32) for _ in range(n_out)
@@ -221,7 +237,7 @@ def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True):
     return tuple(o[:N, :L] for o in outs)
 
 
-def _envelope_mid_kernel(n_sites, idx_bits, n_payloads, n_tiles, n_xc,
+def _envelope_mid_kernel(n_sites, idx_bits, n_payloads, n_tiles, n_xc, mono,
                          active_ref, lo_ref, hi_ref, f_hbm, *refs):
     """Batched variant of _envelope_kernel: the envelope runs along the
     MIDDLE axis of [B, N, L] inputs (grid dim 0 = batch), so a consumer can
@@ -234,6 +250,7 @@ def _envelope_mid_kernel(n_sites, idx_bits, n_payloads, n_tiles, n_xc,
     out_site = refs[n_payloads + 1]
     out_pays = refs[n_payloads + 2: n_payloads + 2 + n_payloads]
     scratch = refs[2 * n_payloads + 2: 2 * n_payloads + 3 + n_payloads]
+    carry = refs[-2]
     sem = refs[-1]
 
     b = pl.program_id(0)
@@ -257,6 +274,7 @@ def _envelope_mid_kernel(n_sites, idx_bits, n_payloads, n_tiles, n_xc,
 
         @pl.when(xc == 0)  # first x-chunk of this (batch, lane tile)
         def _():
+            carry[0] = 0
             for j, (src, dst) in enumerate(
                 [(f_hbm, f_vmem)] + list(zip(pay_hbm, pay_vmem))
             ):
@@ -274,11 +292,19 @@ def _envelope_mid_kernel(n_sites, idx_bits, n_payloads, n_tiles, n_xc,
             packed = (cand << idx_bits) | i
             return jnp.minimum(acc, packed)
 
-        acc = jax.lax.fori_loop(lo_ref[tid * n_xc + xc],
-                                hi_ref[tid * n_xc + xc], body, init)
+        lo = lo_ref[tid * n_xc + xc]
+        if mono:  # see _envelope_kernel: winner-monotonicity carry
+            lo = jnp.maximum(lo, carry[0])
+        hi = hi_ref[tid * n_xc + xc]
+        acc = jax.lax.fori_loop(lo, hi, body, init)
         site = acc & ((1 << idx_bits) - 1)
-        out_best[...] = (acc >> idx_bits).reshape(1, XC, LANES)
+        best = acc >> idx_bits
+        out_best[...] = best.reshape(1, XC, LANES)
         out_site[...] = site.reshape(1, XC, LANES)
+        if mono:
+            last_sited = best[XC - 1, :] < cap
+            carry[0] = jnp.min(
+                jnp.where(last_sited, site[XC - 1, :], jnp.int32(n_sites)))
 
         if n_payloads:
             inits = tuple(jnp.zeros((XC, LANES), jnp.int32)
@@ -291,8 +317,7 @@ def _envelope_mid_kernel(n_sites, idx_bits, n_payloads, n_tiles, n_xc,
                     for k in range(n_payloads)
                 )
 
-            sels = jax.lax.fori_loop(lo_ref[tid * n_xc + xc],
-                                     hi_ref[tid * n_xc + xc], pay_body, inits)
+            sels = jax.lax.fori_loop(lo, hi, pay_body, inits)
             for k in range(n_payloads):
                 out_pays[k][...] = sels[k].reshape(1, XC, LANES)
 
@@ -330,8 +355,9 @@ def _chunk_bands_batched(fp, N, n_tiles, n_xc, lo, hi, big):
             jnp.transpose(hi2, (0, 2, 1)).reshape(-1).astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("n_payloads", "bands"))
-def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True):
+@functools.partial(jax.jit, static_argnames=("n_payloads", "bands", "mono"))
+def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True,
+                     mono: bool = False):
     """f int32 [B, N, L]; envelope along axis 1; outputs [B, N, L]."""
     B, N, L = f.shape
     idx_bits = (N - 1).bit_length() if N > 1 else 1
@@ -373,11 +399,12 @@ def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True):
         in_specs=[site_spec] * (1 + n_payloads),
         out_specs=tuple([out_spec] * n_out),
         scratch_shapes=[pltpu.VMEM((N8, LANES), jnp.int32)] * (1 + n_payloads)
-        + [pltpu.SemaphoreType.DMA((1 + n_payloads,))],
+        + [pltpu.SMEM((1,), jnp.int32),
+           pltpu.SemaphoreType.DMA((1 + n_payloads,))],
     )
     outs = pl.pallas_call(
         functools.partial(_envelope_mid_kernel, N, idx_bits, n_payloads,
-                          n_tiles, n_xc),
+                          n_tiles, n_xc, mono),
         grid_spec=grid_spec,
         out_shape=tuple(
             jax.ShapeDtypeStruct((B, Np, Lp), jnp.int32) for _ in range(n_out)
@@ -386,7 +413,8 @@ def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True):
     return tuple(o[:, :N, :L] for o in outs)
 
 
-def envelope_mid_pallas(fsq, payloads=(), bands: bool = True):
+def envelope_mid_pallas(fsq, payloads=(), bands: bool = True,
+                        mono: bool = False):
     """(best, site, *payloads) envelope along axis 1 of [B, N, ...]: the
     batched middle-axis variant (outputs keep the input layout)."""
     shape = fsq.shape
@@ -397,12 +425,12 @@ def envelope_mid_pallas(fsq, payloads=(), bands: bool = True):
     res = _envelope_mid_3d(
         fsq.reshape(B, N, L),
         tuple(p.reshape(B, N, L) for p in payloads),
-        n_payloads=len(payloads), bands=bands,
+        n_payloads=len(payloads), bands=bands, mono=mono,
     )
     return tuple(r.reshape(shape) for r in res)
 
 
-def envelope_pallas(fsq, payloads=(), bands: bool = True):
+def envelope_pallas(fsq, payloads=(), bands: bool = True, mono: bool = False):
     """Drop-in (best, site, *payloads) envelope over axis 0 of [N, ...]."""
     shape = fsq.shape
     N = shape[0]
@@ -412,6 +440,6 @@ def envelope_pallas(fsq, payloads=(), bands: bool = True):
     res = _envelope_2d(
         fsq.reshape(N, L),
         tuple(p.reshape(N, L) for p in payloads),
-        n_payloads=len(payloads), bands=bands,
+        n_payloads=len(payloads), bands=bands, mono=mono,
     )
     return tuple(r.reshape(shape) for r in res)

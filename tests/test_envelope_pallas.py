@@ -84,6 +84,39 @@ def test_envelope_pallas_band_limited(interp):
     assert not (np.asarray(p0)[:, ~has_site] & 1).any()
 
 
+def test_envelope_mono_carry_exact(interp):
+    """The winner-monotonicity carry (prev chunk's last-row winner tightens
+    the next chunk's loop lower bound) must stay exact across many chunks
+    with gaps, early/late clusters, and heterogeneous lanes."""
+    rng = np.random.default_rng(77)
+    N, L = 330, 260  # 6 x-chunks
+    big = 1 << 28
+    fsq = np.full((N, L), big, np.int32)
+    fsq[5:9, :100] = rng.integers(0, 40, (4, 100))          # early cluster
+    fsq[300:305, 50:200] = rng.integers(0, 40, (5, 150))    # late cluster
+    sprinkle = rng.random((N, L)) < 0.004
+    fsq[sprinkle] = rng.integers(0, 3000, sprinkle.sum())
+    fsq[:, 240:] = big                                      # siteless lanes
+    valid = (fsq < big).astype(np.int32)
+    pay = _pack_valid(rng.integers(0, 200, (N, L)).astype(np.int32), valid)
+
+    f = jnp.asarray(fsq)
+    p = jnp.asarray(pay)
+    b0, s0, p0 = lower_envelope(f, payloads=(p,), chunk=8)
+    b1, s1, p1 = env_mod.envelope_pallas(f, payloads=(p,), mono=True)
+    b2, s2, p2 = env_mod.envelope_pallas(f, payloads=(p,), mono=False)
+
+    has_site = valid.any(axis=0)
+    for name, (bx, sx, px) in {"mono": (b1, s1, p1),
+                               "nomono": (b2, s2, p2)}.items():
+        np.testing.assert_array_equal(np.asarray(b0)[:, has_site],
+                                      np.asarray(bx)[:, has_site], err_msg=name)
+        np.testing.assert_array_equal(np.asarray(s0)[:, has_site],
+                                      np.asarray(sx)[:, has_site], err_msg=name)
+        np.testing.assert_array_equal(np.asarray(p0)[:, has_site],
+                                      np.asarray(px)[:, has_site], err_msg=name)
+
+
 def test_envelope_mid_matches_flat(interp):
     """The batched middle-axis kernel must agree with the flat kernel applied
     to the transposed input, on every sited lane."""

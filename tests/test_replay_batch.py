@@ -24,6 +24,17 @@ def _linear_poses(n, step=0.5, start=-1.8):
             for i in range(n)]
 
 
+def _there_and_back(n, step=0.6, start=-1.5):
+    """Out and back: blocks archived on the way out are re-fetched from the
+    archive on the way back (exercises in-scan archive gets)."""
+    eye = np.eye(3, dtype=np.float32)
+    half = n // 2
+    xs = [start + step * min(i, half) - step * max(0, i - half)
+          for i in range(n)]
+    return [geo.Projection(rot=eye, trans=np.asarray([x, 0.0, 0.9], np.float32))
+            for x in xs]
+
+
 def _run_pair(cfg, n_frames, chunk):
     world = BoxWorld.corridor(seed=3, n_pillars=5, extent=3.0, height=2.0)
     poses = _linear_poses(n_frames)
@@ -78,6 +89,31 @@ def test_replay_batch_compacted_scroll():
     # the trajectory must actually scroll inside a scanned chunk for this
     # test to mean anything
     assert m_bat.map_ct == 8
+
+
+def test_replay_batch_archive_roundtrip():
+    """Out-and-back trajectory: blocks archived by in-scan scrolls must be
+    re-fetched from the archive by later in-scan scrolls, matching the
+    per-frame loop bitwise."""
+    cfg = cow_lady_config(
+        voxel_width=0.2, local_size_m=(9.6, 9.6, 1.6), cutoff_dist=1.0,
+        max_blocks=2048, max_raycast_points=256, fuse_raycast=True,
+        display_glb_edt=False, display_glb_ogm=False)
+    world = BoxWorld.corridor(seed=9, n_pillars=5, extent=3.0, height=2.0)
+    poses = _there_and_back(14, step=1.1)
+    clouds = [world.pointcloud(p, n_rays=256, max_range=6.0, seed=i)
+              for i, p in enumerate(poses)]
+
+    m_ref = VolumetricMapper(cfg)
+    pts, val = m_ref.stage_pointcloud_batch(clouds)
+    for i, p in enumerate(poses):
+        out_ref = m_ref.process_pointcloud(p, pts[i], val[i])
+    assert int(np.asarray(m_ref.state.n_arch)) > 0  # something archived
+
+    m_bat = VolumetricMapper(cfg)
+    pts_b, val_b = m_bat.stage_pointcloud_batch(clouds)
+    out_bat = m_bat.process_pointcloud_batch(poses, pts_b, val_b, chunk=4)
+    _assert_equal(m_ref, out_ref, m_bat, out_bat)
 
 
 def test_replay_batch_scan2d_sensor_kind():

@@ -124,6 +124,12 @@ def main():
     cfg = load_config(args.case)
     if args.merge_mode is not None:
         cfg = cfg.replace(merge_mode=args.merge_mode)
+    if args.batch and args.profile:
+        # the RMSE ground-truth checker needs per-frame host data, which the
+        # scanned replay doesn't surface — profile runs stay per-frame
+        print("--profile needs per-frame dispatch; ignoring --batch",
+              file=sys.stderr)
+        args.batch = 0
     if args.batch:
         cfg = cfg.replace(fuse_raycast=True)  # batch pointcloud path needs it
     if args.profile:

@@ -147,6 +147,10 @@ class VolumetricMapper:
         self.ext_obs = _ExtObs(cfg)
         self._origin = None  # host mirror of the canvas origin (scroll gate)
         self.map_ct = 0
+        # batched-replay observability: frames absorbed by scan programs and
+        # scrolls executed in-scan (vs per-frame fallbacks)
+        self.replay_scanned_frames = 0
+        self.replay_scanned_scrolls = 0
         self.mirror = None  # lazily-constructed runtime.host_mirror.HostMirror
         self.last_output: Optional[FrameOutput] = None
         self.logger = None
@@ -740,6 +744,8 @@ class VolumetricMapper:
             last = plan[-1]
             self._origin = np.asarray(last[1]).copy()
             self.map_ct += n
+            self.replay_scanned_frames += n
+            self.replay_scanned_scrolls += int(scrolled.sum())
             result = FrameOutput(
                 out, origin=last[0].astype(np.float32) * cfg.voxel_width,
                 pvt=last[0])

@@ -41,7 +41,7 @@ def _round_up(v, m):
 
 
 def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, mono, active_ref,
-                     lo_ref, hi_ref, f_hbm, *refs):
+                     lo_ref, hi_ref, men_ref, f_hbm, *refs):
     """Site operands stay in HBM; the active branch DMAs one [N,128] lane
     tile into VMEM scratch (once per lane tile — xc==0 runs first), so
     skipped tiles pay neither compute nor fetch.
@@ -104,10 +104,13 @@ def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, mono, active_ref,
         # winner-monotonicity carry: the envelope's argmin is non-decreasing
         # in x, so the previous chunk's last-row winner (min over lanes whose
         # winner is a real site) lower-bounds every winner in this chunk —
-        # tightening the coarse-to-fine band's lo from below
+        # tightening the coarse-to-fine band's lo from below.  Soundness
+        # needs `best < cap` to mean exactly "this lane has a finite site"
+        # — i.e. no sited lane's cost may CLAMP to cap — so the host gates
+        # the carry (men_ref) on max_finite_f + (Np-1)^2 < cap.
         lo = lo_ref[lx * n_xc + xc]
         if mono:
-            lo = jnp.maximum(lo, carry[0])
+            lo = jnp.maximum(lo, carry[0] * men_ref[0])
         hi = hi_ref[lx * n_xc + xc]
         acc = jax.lax.fori_loop(lo, hi, body, init)
         site = acc & ((1 << idx_bits) - 1)
@@ -211,6 +214,13 @@ def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True,
         fp = jnp.pad(fp, ((0, N8 - N), (0, 0)), constant_values=cap)
         pp = [jnp.pad(p, ((0, N8 - N), (0, 0))) for p in pp]
 
+    # mono-carry safety gate: only sound when no sited lane's cost can clamp
+    # to cap (see _envelope_kernel); near-cap site costs disable the carry
+    # int32-safe: max_finite < cap <= 2^(31-ib) and (Np-1)^2 <= 2^(2*ib),
+    # whose sum stays < 2^31 for every legal idx_bits
+    men = ((jnp.max(jnp.where(fp < cap, fp, 0))
+            + (Np - 1) ** 2) < cap).astype(jnp.int32).reshape(1)
+
     grid = (n_tiles, n_xc)
     site_spec = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM; manual DMA
     out_spec = pl.BlockSpec((XC, LANES), lambda lx, xc, *_: (xc, lx),
@@ -218,7 +228,7 @@ def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True,
 
     n_out = 2 + n_payloads
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=grid,
         in_specs=[site_spec] * (1 + n_payloads),
         out_specs=tuple([out_spec] * n_out),
@@ -233,12 +243,12 @@ def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True,
         out_shape=tuple(
             jax.ShapeDtypeStruct((Np, Lp), jnp.int32) for _ in range(n_out)
         ),
-    )(active, lo, hi, fp, *pp)
+    )(active, lo, hi, men, fp, *pp)
     return tuple(o[:N, :L] for o in outs)
 
 
 def _envelope_mid_kernel(n_sites, idx_bits, n_payloads, n_tiles, n_xc, mono,
-                         active_ref, lo_ref, hi_ref, f_hbm, *refs):
+                         active_ref, lo_ref, hi_ref, men_ref, f_hbm, *refs):
     """Batched variant of _envelope_kernel: the envelope runs along the
     MIDDLE axis of [B, N, L] inputs (grid dim 0 = batch), so a consumer can
     read a producer's [X, Z, Y] layout directly — the [X,Z,Y]->[Z,X,Y]
@@ -293,8 +303,8 @@ def _envelope_mid_kernel(n_sites, idx_bits, n_payloads, n_tiles, n_xc, mono,
             return jnp.minimum(acc, packed)
 
         lo = lo_ref[tid * n_xc + xc]
-        if mono:  # see _envelope_kernel: winner-monotonicity carry
-            lo = jnp.maximum(lo, carry[0])
+        if mono:  # see _envelope_kernel: gated winner-monotonicity carry
+            lo = jnp.maximum(lo, carry[0] * men_ref[0])
         hi = hi_ref[tid * n_xc + xc]
         acc = jax.lax.fori_loop(lo, hi, body, init)
         site = acc & ((1 << idx_bits) - 1)
@@ -387,6 +397,12 @@ def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True,
         fp = jnp.pad(fp, ((0, 0), (0, N8 - N), (0, 0)), constant_values=cap)
         pp = [jnp.pad(p, ((0, 0), (0, N8 - N), (0, 0))) for p in pp]
 
+    # mono-carry safety gate (see _envelope_kernel)
+    # int32-safe: max_finite < cap <= 2^(31-ib) and (Np-1)^2 <= 2^(2*ib),
+    # whose sum stays < 2^31 for every legal idx_bits
+    men = ((jnp.max(jnp.where(fp < cap, fp, 0))
+            + (Np - 1) ** 2) < cap).astype(jnp.int32).reshape(1)
+
     grid = (B, n_tiles, n_xc)
     site_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_spec = pl.BlockSpec((1, XC, LANES), lambda b, lx, xc, *_: (b, xc, lx),
@@ -394,7 +410,7 @@ def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True,
 
     n_out = 2 + n_payloads
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=grid,
         in_specs=[site_spec] * (1 + n_payloads),
         out_specs=tuple([out_spec] * n_out),
@@ -409,7 +425,7 @@ def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True,
         out_shape=tuple(
             jax.ShapeDtypeStruct((B, Np, Lp), jnp.int32) for _ in range(n_out)
         ),
-    )(active, lo, hi, fp, *pp)
+    )(active, lo, hi, men, fp, *pp)
     return tuple(o[:, :N, :L] for o in outs)
 
 

@@ -124,14 +124,20 @@ def invalidate_disappeared(dist, coc, outside_mask, stale_coc, dead_win,
         (win_off[0], win_off[1], win_off[2]))
     coc_valid = stale_coc[..., 0] != COC_INVALID16
 
+    # the coc-equality masks are loop-invariant: compute the six bool
+    # canvases once so each sweep is 6 bool shift+and+or passes instead of
+    # re-shifting/comparing the int16x3 coc field every iteration
+    dirs = []
+    for axis in range(3):
+        for sign in (1, -1):
+            n_c = _shift_fill(stale_coc, axis, sign, COC_INVALID16)
+            same = jnp.all(stale_coc == n_c, axis=-1) & coc_valid
+            dirs.append((axis, sign, same))
+
     def sweep(raised):
         out = raised
-        for axis in range(3):
-            for sign in (1, -1):
-                n_r = _shift_fill(raised, axis, sign, False)
-                n_c = _shift_fill(stale_coc, axis, sign, COC_INVALID16)
-                same = jnp.all(stale_coc == n_c, axis=-1)
-                out = out | (n_r & same & coc_valid)
+        for axis, sign, same in dirs:
+            out = out | (_shift_fill(raised, axis, sign, False) & same)
         return out
 
     def body(state):

@@ -88,7 +88,8 @@ def test_replay_batch_compacted_scroll():
     _assert_equal(m_ref, out_ref, m_bat, out_bat)
     # the trajectory must actually scroll inside a scanned chunk for this
     # test to mean anything
-    assert m_bat.map_ct == 8
+    assert m_bat.replay_scanned_frames >= 3
+    assert m_bat.replay_scanned_scrolls >= 1
 
 
 def test_replay_batch_archive_roundtrip():
@@ -114,6 +115,7 @@ def test_replay_batch_archive_roundtrip():
     pts_b, val_b = m_bat.stage_pointcloud_batch(clouds)
     out_bat = m_bat.process_pointcloud_batch(poses, pts_b, val_b, chunk=4)
     _assert_equal(m_ref, out_ref, m_bat, out_bat)
+    assert m_bat.replay_scanned_scrolls >= 2  # archive put AND get in-scan
 
 
 def test_replay_batch_scan2d_sensor_kind():

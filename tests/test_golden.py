@@ -50,6 +50,46 @@ def _scenario_pc():
     return outs
 
 
+GOLDEN_DEPTH = os.path.join(os.path.dirname(__file__), "golden_depth.npz")
+
+
+def _scenario_depth():
+    from gie_mapping_tpu.models.mapper import VolumetricMapper
+    from gie_mapping_tpu.runtime.datasets import BoxWorld, circular_trajectory
+    from gie_mapping_tpu.utils.config import depthcam_config
+
+    cfg = depthcam_config(local_size_m=(5.0, 5.0, 2.0), voxel_width=0.2,
+                          cutoff_dist=2.0, max_blocks=4096)
+    world = BoxWorld.corridor(seed=23, n_pillars=4, extent=3.0, height=2.0)
+    mapper = VolumetricMapper(cfg)
+    outs = []
+    for proj in circular_trajectory(4, radius=1.0, height=1.0):
+        depth, fx, fy, cx, cy = world.depth_image(proj, rows=40, cols=52)
+        outs.append(mapper.process_depth(proj, depth, fx, fy, cx, cy))
+    return outs
+
+
+GOLDEN_VLP = os.path.join(os.path.dirname(__file__), "golden_multiscan.npz")
+
+
+def _scenario_vlp():
+    from gie_mapping_tpu.models.mapper import VolumetricMapper
+    from gie_mapping_tpu.runtime.datasets import BoxWorld, circular_trajectory
+    from gie_mapping_tpu.utils.config import uav_laser3d_config
+
+    cfg = uav_laser3d_config(local_size_m=(5.0, 5.0, 2.0), voxel_width=0.2,
+                             cutoff_dist=2.0, max_blocks=4096)
+    world = BoxWorld.corridor(seed=29, n_pillars=4, extent=3.0, height=2.0)
+    mapper = VolumetricMapper(cfg)
+    outs = []
+    for proj in circular_trajectory(4, radius=1.0, height=1.0):
+        rings, tmin, tinc, pmin, pinc = world.multiscan(
+            proj, ring_num=16, scan_num=180, max_range=8.0)
+        outs.append(mapper.process_multiscan(proj, rings, tmin, tinc, pmin,
+                                             pinc))
+    return outs
+
+
 def _check(outs, golden_path):
     ref = np.load(golden_path)
     for i in (0, len(outs) - 1):
@@ -71,13 +111,25 @@ def test_golden_pointcloud():
     _check(_scenario_pc(), GOLDEN_PC)
 
 
+def test_golden_depth():
+    assert os.path.exists(GOLDEN_DEPTH), "regenerate with python tests/test_golden.py --regen"
+    _check(_scenario_depth(), GOLDEN_DEPTH)
+
+
+def test_golden_multiscan():
+    assert os.path.exists(GOLDEN_VLP), "regenerate with python tests/test_golden.py --regen"
+    _check(_scenario_vlp(), GOLDEN_VLP)
+
+
 if __name__ == "__main__":
     if "--regen" in sys.argv:
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        for fn, path in ((_scenario, GOLDEN), (_scenario_pc, GOLDEN_PC)):
+        for fn, path in ((_scenario, GOLDEN), (_scenario_pc, GOLDEN_PC),
+                         (_scenario_depth, GOLDEN_DEPTH),
+                         (_scenario_vlp, GOLDEN_VLP)):
             outs = fn()
             data = {}
             for i in (0, len(outs) - 1):

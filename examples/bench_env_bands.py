@@ -61,7 +61,8 @@ def timed(glb, mw, bands):
     @jax.jit
     def chain(g):
         def body(g, _):
-            env = lambda f, p: env_mod.envelope_pallas(f, p, bands=bands)
+            env = lambda f, p: env_mod.envelope_pallas(f, p, bands=bands,
+                                                       packed_out=True)
             occ = g == 2
             g1, c1, v1 = edt_batch._phase1_along_y(occ, mw)
             g1sq = jnp.where(v1, g1 * g1, 1 << 28)

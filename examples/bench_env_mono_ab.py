@@ -78,7 +78,8 @@ def main():
             # swap the env closure: batch_edt has no mono flag, so rebuild
             # the zmajor core with an env that carries the flag
             occ_ = g == 2
-            env = functools.partial(envelope_pallas, mono=mono)
+            env = functools.partial(envelope_pallas, mono=mono,
+                                    packed_out=True)
             tzy = lambda a: jnp.transpose(a, (0, 2, 1))
             packed_c, pay3b, zbits = eb._edt_zmajor_core(
                 occ_, lambda f, p: env(f, p), mw, shape[2],

@@ -67,13 +67,16 @@ def _phase1_along_y(occ, max_width):
     return g1, coc_y, valid
 
 
-def lower_envelope(fsq, payloads=(), chunk: int = 8):
+def lower_envelope(fsq, payloads=(), chunk: int = 8,
+                   packed_out: bool = False):
     """Exact lower envelope min_i ((x-i)^2 + fsq[i]) along axis 0.
 
     fsq: int32 [N, ...].  payloads: per-site int32 arrays [N, ...] whose
     winning-site values are co-selected without gathers.
 
-    Returns (best [N, ...], site [N, ...], *selected_payloads).
+    Returns (best [N, ...], site [N, ...], *selected_payloads) — or, with
+    packed_out, ((best << idx_bits | site), *selected_payloads), matching
+    the Pallas kernel's packed output mode.
     Ties resolve to the smallest site index (the packed key (cost<<b)|site is
     unique per site, so every output is selected from the SAME winner).
     """
@@ -94,7 +97,7 @@ def lower_envelope(fsq, payloads=(), chunk: int = 8):
         packed = (cand << idx_bits) | i_b
         best = jnp.min(packed, axis=1)
         site = best & ((1 << idx_bits) - 1)
-        outs = [best >> idx_bits, site]
+        outs = [best] if packed_out else [best >> idx_bits, site]
         if payloads:
             hot = i_b == site[:, None]
             for p in payloads:
@@ -114,6 +117,12 @@ def _use_pallas() -> bool:
         return False
 
 
+def _env_idx_bits(n: int) -> int:
+    """The envelope kernels' packed-output site-bit budget for an n-site
+    axis (must mirror envelope.py / lower_envelope exactly)."""
+    return (n - 1).bit_length() if n > 1 else 1
+
+
 def _edt_zmajor_core(occ, env, max_width: int, z_global: int, reshard1,
                      reshard2, env_mid=None):
     """Phases 1-3 of the z-major EDT with pluggable phase-boundary reshards.
@@ -124,6 +133,10 @@ def _edt_zmajor_core(occ, env, max_width: int, z_global: int, reshard1,
     `l` suffixes mark the axis a mesh may shard; z_global is the full Z
     extent (site axis of phase 3) for the coc_z bit budget.
 
+    env / env_mid take (fsq, payloads) and must return the PACKED envelope
+    ((best << idx_bits | site), *payloads) — one output array per phase
+    instead of two; the unpack shifts here fuse into the next pass.
+
     Returns (packed_c [Xl,Y,Z], pay3b [Xl,Y,Z], zbits): packed_c holds
     (dist << zbits+1 | coc_z << 1 | valid), pay3b (coc_x << 11 | coc_y << 1
     | valid)."""
@@ -132,7 +145,11 @@ def _edt_zmajor_core(occ, env, max_width: int, z_global: int, reshard1,
     # Payloads ride as ONE packed int32 (coords < 2^10, valid 1 bit), so the
     # envelope's payload-select pass runs once instead of once per payload.
     pay2 = (coc_y1 << 1) | valid1.astype(jnp.int32)
-    d2t, site2t, pay2t = env(reshard1(g1sq), (reshard1(pay2),))
+    f2 = reshard1(g1sq)
+    ib2 = _env_idx_bits(f2.shape[0])
+    pk2, pay2t = env(f2, (reshard1(pay2),))
+    d2t = pk2 >> ib2
+    site2t = pk2 & ((1 << ib2) - 1)
     d2m = jnp.where((pay2t & 1) > 0, d2t, _BIG)        # [X,Zl,Y]
     pay3 = (site2t << 11) | pay2t
     zbits = (z_global - 1).bit_length() + 1
@@ -141,13 +158,18 @@ def _edt_zmajor_core(occ, env, max_width: int, z_global: int, reshard1,
         # middle): the [X,Z,Y]->[Z,X,Y] transpose pair between the two
         # pallas_calls — which XLA cannot fuse across kernel boundaries —
         # never materialises
-        d3, coc_z3, pay3s = env_mid(d2m, (pay3,))      # [X,Z,Y]
+        ib3 = _env_idx_bits(d2m.shape[1])
+        pk3, pay3s = env_mid(d2m, (pay3,))             # [X,Z,Y]
+        d3, coc_z3 = pk3 >> ib3, pk3 & ((1 << ib3) - 1)
         d3c = jnp.minimum(d3, (1 << (30 - zbits)) - 1)
         packed_c = jnp.transpose(
             (d3c << (zbits + 1)) | (coc_z3 << 1) | (pay3s & 1), (0, 2, 1))
         pay3b = jnp.transpose(pay3s, (0, 2, 1))        # [Xl,Y,Z]
         return packed_c, pay3b, zbits
-    d3, coc_z3, pay3s = env(reshard2(d2m), (reshard2(pay3),))
+    f3 = reshard2(d2m)
+    ib3 = _env_idx_bits(f3.shape[0])
+    pk3, pay3s = env(f3, (reshard2(pay3),))
+    d3, coc_z3 = pk3 >> ib3, pk3 & ((1 << ib3) - 1)
     d3c = jnp.minimum(d3, (1 << (30 - zbits)) - 1)
     packed_c = jnp.moveaxis(
         (d3c << (zbits + 1)) | (coc_z3 << 1) | (pay3s & 1), 0, 2)
@@ -181,9 +203,10 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = No
     if pallas:
         from .pallas.envelope import envelope_pallas
 
-        env = lambda f, payloads: envelope_pallas(f, payloads)
+        env = lambda f, payloads: envelope_pallas(f, payloads, packed_out=True)
     else:
-        env = lambda f, payloads: lower_envelope(f, payloads=payloads, chunk=chunk)
+        env = lambda f, payloads: lower_envelope(f, payloads=payloads,
+                                                 chunk=chunk, packed_out=True)
 
     # ---- phases: z-major lane order (z, y) ------------------------------
     # Phase-1 validity depends only on (x, z), so z-major lane tiles are
@@ -198,7 +221,8 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = No
     if mid and pallas and zmajor and Z > 1:
         from .pallas.envelope import envelope_mid_pallas
 
-        env_mid = lambda f, payloads: envelope_mid_pallas(f, payloads)
+        env_mid = lambda f, payloads: envelope_mid_pallas(f, payloads,
+                                                          packed_out=True)
     if zmajor and Z > 1:
         tzy = lambda a: jnp.transpose(a, (0, 2, 1))
         packed_c, pay3b, zbits = _edt_zmajor_core(
@@ -215,7 +239,10 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = No
         g1, coc_y1, valid1 = _phase1_along_y(occ, max_width)
         g1sq = jnp.where(valid1, g1 * g1, _BIG)
         pay2 = (coc_y1 << 1) | valid1.astype(jnp.int32)
-        d2t, site2t, pay2t = env(tzy(g1sq), (tzy(pay2),))
+        f2 = tzy(g1sq)
+        ib2 = _env_idx_bits(f2.shape[0])
+        pk2t, pay2t = env(f2, (tzy(pay2),))
+        d2t, site2t = pk2t >> ib2, pk2t & ((1 << ib2) - 1)
         d2, coc_x2, pay2s = tzy(d2t), tzy(site2t), tzy(pay2t)
         coc_y2 = pay2s >> 1
         valid2 = (pay2s & 1) > 0
@@ -232,7 +259,9 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = No
                 | (jnp.moveaxis(coc_y2, 2, 0) << 1)
                 | jnp.moveaxis(valid2.astype(jnp.int32), 2, 0)
             )
-            d3, coc_z3, pay3s = env(d2_z, (pay3,))
+            ib3 = _env_idx_bits(d2_z.shape[0])
+            pk3, pay3s = env(d2_z, (pay3,))
+            d3, coc_z3 = pk3 >> ib3, pk3 & ((1 << ib3) - 1)
             dist_sq = jnp.moveaxis(d3, 0, 2)
             coc_z = jnp.moveaxis(coc_z3, 0, 2)
             pay3b = jnp.moveaxis(pay3s, 0, 2)
@@ -292,9 +321,10 @@ def batch_edt_sharded(glb_type, max_width: int, mesh, chunk: int = 8,
     if pallas:
         from .pallas.envelope import envelope_pallas
 
-        env = lambda f, payloads: envelope_pallas(f, payloads)
+        env = lambda f, payloads: envelope_pallas(f, payloads, packed_out=True)
     else:
-        env = lambda f, payloads: lower_envelope(f, payloads=payloads, chunk=chunk)
+        env = lambda f, payloads: lower_envelope(f, payloads=payloads,
+                                                 chunk=chunk, packed_out=True)
 
     def body(occ_l):
         a2a = lambda a: jax.lax.all_to_all(a, MESH_AXIS, 1, 0, tiled=True)

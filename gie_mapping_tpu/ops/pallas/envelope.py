@@ -40,8 +40,8 @@ def _round_up(v, m):
     return (v + m - 1) // m * m
 
 
-def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, mono, active_ref,
-                     lo_ref, hi_ref, men_ref, f_hbm, *refs):
+def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, mono, packed_out,
+                     active_ref, lo_ref, hi_ref, men_ref, f_hbm, *refs):
     """Site operands stay in HBM; the active branch DMAs one [N,128] lane
     tile into VMEM scratch (once per lane tile — xc==0 runs first), so
     skipped tiles pay neither compute nor fetch.
@@ -54,12 +54,18 @@ def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, mono, active_ref,
     band.  Final batch_edt outputs stay bit-identical: excluded sites lose
     STRICTLY for every sited lane (ties unaffected), and lanes with no
     finite site select an infinite-cost winner whose valid payload bit is 0
-    either way, which the caller masks on."""
+    either way, which the caller masks on.
+
+    packed_out: emit the ONE packed reduction word (best << idx_bits | site)
+    instead of separate best/site arrays — one fewer full-size HBM write
+    here and one fewer read downstream; the caller unpacks with shifts that
+    XLA fuses into its next pass."""
+    n_main = 1 if packed_out else 2
     pay_hbm = refs[:n_payloads]
-    out_best = refs[n_payloads]
-    out_site = refs[n_payloads + 1]
-    out_pays = refs[n_payloads + 2: n_payloads + 2 + n_payloads]
-    scratch = refs[2 * n_payloads + 2: 2 * n_payloads + 3 + n_payloads]
+    outs_main = refs[n_payloads: n_payloads + n_main]
+    out_pays = refs[n_payloads + n_main: n_payloads + n_main + n_payloads]
+    scratch = refs[2 * n_payloads + n_main:
+                   2 * n_payloads + n_main + 1 + n_payloads]
     carry = refs[-2]
     sem = refs[-1]
 
@@ -72,8 +78,12 @@ def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, mono, active_ref,
     @pl.when(active_ref[lx] == 0)
     def _():
         # no valid site anywhere in this lane tile: everything is 'infinite'
-        out_best[:, :] = jnp.full((XC, LANES), cap, jnp.int32)
-        out_site[:, :] = jnp.zeros((XC, LANES), jnp.int32)
+        if packed_out:  # (cap << idx_bits) | 0 — unpacks to the same pair
+            outs_main[0][:, :] = jnp.full((XC, LANES), cap << idx_bits,
+                                          jnp.int32)
+        else:
+            outs_main[0][:, :] = jnp.full((XC, LANES), cap, jnp.int32)
+            outs_main[1][:, :] = jnp.zeros((XC, LANES), jnp.int32)
         for k in range(n_payloads):
             out_pays[k][:, :] = jnp.zeros((XC, LANES), jnp.int32)
 
@@ -115,8 +125,11 @@ def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, mono, active_ref,
         acc = jax.lax.fori_loop(lo, hi, body, init)
         site = acc & ((1 << idx_bits) - 1)
         best = acc >> idx_bits
-        out_best[:, :] = best
-        out_site[:, :] = site
+        if packed_out:
+            outs_main[0][:, :] = acc
+        else:
+            outs_main[0][:, :] = best
+            outs_main[1][:, :] = site
         if mono:
             last_sited = best[XC - 1, :] < cap
             carry[0] = jnp.min(
@@ -182,9 +195,10 @@ def _chunk_bands(fp, N, n_tiles, n_xc, lo, hi, big):
             jnp.transpose(hi2).reshape(-1).astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("n_payloads", "bands", "mono"))
+@functools.partial(jax.jit, static_argnames=("n_payloads", "bands", "mono",
+                                              "packed_out"))
 def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True,
-                 mono: bool = False):
+                 mono: bool = False, packed_out: bool = False):
     """fsq int32 [N, L]; payloads tuple of int32 [N, L]."""
     N, L = fsq.shape
     idx_bits = (N - 1).bit_length() if N > 1 else 1
@@ -226,7 +240,7 @@ def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True,
     out_spec = pl.BlockSpec((XC, LANES), lambda lx, xc, *_: (xc, lx),
                             memory_space=pltpu.VMEM)
 
-    n_out = 2 + n_payloads
+    n_out = (1 if packed_out else 2) + n_payloads
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=grid,
@@ -238,7 +252,7 @@ def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True,
     )
     outs = pl.pallas_call(
         functools.partial(_envelope_kernel, N, idx_bits, n_payloads, n_xc,
-                          mono),
+                          mono, packed_out),
         grid_spec=grid_spec,
         out_shape=tuple(
             jax.ShapeDtypeStruct((Np, Lp), jnp.int32) for _ in range(n_out)
@@ -248,18 +262,20 @@ def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True,
 
 
 def _envelope_mid_kernel(n_sites, idx_bits, n_payloads, n_tiles, n_xc, mono,
-                         active_ref, lo_ref, hi_ref, men_ref, f_hbm, *refs):
+                         packed_out, active_ref, lo_ref, hi_ref, men_ref,
+                         f_hbm, *refs):
     """Batched variant of _envelope_kernel: the envelope runs along the
     MIDDLE axis of [B, N, L] inputs (grid dim 0 = batch), so a consumer can
     read a producer's [X, Z, Y] layout directly — the [X,Z,Y]->[Z,X,Y]
     transpose pair between two pallas_calls (which XLA cannot fuse away)
     disappears.  Per-(b, lane-tile) site slabs and per-chunk coarse-to-fine
     bands work exactly as in the flat kernel, indexed at b*n_tiles + lx."""
+    n_main = 1 if packed_out else 2
     pay_hbm = refs[:n_payloads]
-    out_best = refs[n_payloads]
-    out_site = refs[n_payloads + 1]
-    out_pays = refs[n_payloads + 2: n_payloads + 2 + n_payloads]
-    scratch = refs[2 * n_payloads + 2: 2 * n_payloads + 3 + n_payloads]
+    outs_main = refs[n_payloads: n_payloads + n_main]
+    out_pays = refs[n_payloads + n_main: n_payloads + n_main + n_payloads]
+    scratch = refs[2 * n_payloads + n_main:
+                   2 * n_payloads + n_main + 1 + n_payloads]
     carry = refs[-2]
     sem = refs[-1]
 
@@ -273,8 +289,12 @@ def _envelope_mid_kernel(n_sites, idx_bits, n_payloads, n_tiles, n_xc, mono,
 
     @pl.when(active_ref[tid] == 0)
     def _():
-        out_best[...] = jnp.full((1, XC, LANES), cap, jnp.int32)
-        out_site[...] = jnp.zeros((1, XC, LANES), jnp.int32)
+        if packed_out:
+            outs_main[0][...] = jnp.full((1, XC, LANES), cap << idx_bits,
+                                         jnp.int32)
+        else:
+            outs_main[0][...] = jnp.full((1, XC, LANES), cap, jnp.int32)
+            outs_main[1][...] = jnp.zeros((1, XC, LANES), jnp.int32)
         for k in range(n_payloads):
             out_pays[k][...] = jnp.zeros((1, XC, LANES), jnp.int32)
 
@@ -309,8 +329,11 @@ def _envelope_mid_kernel(n_sites, idx_bits, n_payloads, n_tiles, n_xc, mono,
         acc = jax.lax.fori_loop(lo, hi, body, init)
         site = acc & ((1 << idx_bits) - 1)
         best = acc >> idx_bits
-        out_best[...] = best.reshape(1, XC, LANES)
-        out_site[...] = site.reshape(1, XC, LANES)
+        if packed_out:
+            outs_main[0][...] = acc.reshape(1, XC, LANES)
+        else:
+            outs_main[0][...] = best.reshape(1, XC, LANES)
+            outs_main[1][...] = site.reshape(1, XC, LANES)
         if mono:
             last_sited = best[XC - 1, :] < cap
             carry[0] = jnp.min(
@@ -365,9 +388,10 @@ def _chunk_bands_batched(fp, N, n_tiles, n_xc, lo, hi, big):
             jnp.transpose(hi2, (0, 2, 1)).reshape(-1).astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("n_payloads", "bands", "mono"))
+@functools.partial(jax.jit, static_argnames=("n_payloads", "bands", "mono",
+                                              "packed_out"))
 def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True,
-                     mono: bool = False):
+                     mono: bool = False, packed_out: bool = False):
     """f int32 [B, N, L]; envelope along axis 1; outputs [B, N, L]."""
     B, N, L = f.shape
     idx_bits = (N - 1).bit_length() if N > 1 else 1
@@ -408,7 +432,7 @@ def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True,
     out_spec = pl.BlockSpec((1, XC, LANES), lambda b, lx, xc, *_: (b, xc, lx),
                             memory_space=pltpu.VMEM)
 
-    n_out = 2 + n_payloads
+    n_out = (1 if packed_out else 2) + n_payloads
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=grid,
@@ -420,7 +444,7 @@ def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True,
     )
     outs = pl.pallas_call(
         functools.partial(_envelope_mid_kernel, N, idx_bits, n_payloads,
-                          n_tiles, n_xc, mono),
+                          n_tiles, n_xc, mono, packed_out),
         grid_spec=grid_spec,
         out_shape=tuple(
             jax.ShapeDtypeStruct((B, Np, Lp), jnp.int32) for _ in range(n_out)
@@ -430,9 +454,10 @@ def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True,
 
 
 def envelope_mid_pallas(fsq, payloads=(), bands: bool = True,
-                        mono: bool = False):
+                        mono: bool = False, packed_out: bool = False):
     """(best, site, *payloads) envelope along axis 1 of [B, N, ...]: the
-    batched middle-axis variant (outputs keep the input layout)."""
+    batched middle-axis variant (outputs keep the input layout).  With
+    packed_out, ((best << idx_bits | site), *payloads) instead."""
     shape = fsq.shape
     B, N = shape[0], shape[1]
     L = 1
@@ -442,12 +467,16 @@ def envelope_mid_pallas(fsq, payloads=(), bands: bool = True,
         fsq.reshape(B, N, L),
         tuple(p.reshape(B, N, L) for p in payloads),
         n_payloads=len(payloads), bands=bands, mono=mono,
+        packed_out=packed_out,
     )
     return tuple(r.reshape(shape) for r in res)
 
 
-def envelope_pallas(fsq, payloads=(), bands: bool = True, mono: bool = False):
-    """Drop-in (best, site, *payloads) envelope over axis 0 of [N, ...]."""
+def envelope_pallas(fsq, payloads=(), bands: bool = True, mono: bool = False,
+                    packed_out: bool = False):
+    """Drop-in (best, site, *payloads) envelope over axis 0 of [N, ...].
+    With packed_out, ((best << idx_bits | site), *payloads) instead — one
+    fewer full-size output (see _envelope_kernel)."""
     shape = fsq.shape
     N = shape[0]
     L = 1
@@ -457,5 +486,6 @@ def envelope_pallas(fsq, payloads=(), bands: bool = True, mono: bool = False):
         fsq.reshape(N, L),
         tuple(p.reshape(N, L) for p in payloads),
         n_payloads=len(payloads), bands=bands, mono=mono,
+        packed_out=packed_out,
     )
     return tuple(r.reshape(shape) for r in res)

@@ -117,6 +117,51 @@ def test_envelope_mono_carry_exact(interp):
                                       np.asarray(px)[:, has_site], err_msg=name)
 
 
+def test_envelope_packed_out_matches_unpacked(interp):
+    """packed_out=True must be exactly (best << idx_bits) | site of the
+    unpacked mode, in both the flat and mid kernels and the dense fallback
+    (including inactive tiles and empty-band chunks)."""
+    rng = np.random.default_rng(41)
+    N, L = 70, 300
+    big = 1 << 28
+    fsq = np.full((N, L), big, np.int32)
+    fsq[30:38, :120] = rng.integers(0, 500, (8, 120))
+    fsq[2, 150:200] = 7
+    valid = (fsq < big).astype(np.int32)
+    pay = _pack_valid(rng.integers(0, 200, (N, L)).astype(np.int32), valid)
+    ib = (N - 1).bit_length()
+
+    f = jnp.asarray(fsq)
+    p = jnp.asarray(pay)
+    b1, s1, p1 = env_mod.envelope_pallas(f, payloads=(p,))
+    pk, p2 = env_mod.envelope_pallas(f, payloads=(p,), packed_out=True)
+    np.testing.assert_array_equal(
+        np.asarray(pk), (np.asarray(b1) << ib) | np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+    # dense fallback: packed values agree on sited lanes (siteless lanes may
+    # pick a different — equally infinite — site; payload-valid is 0 both
+    # ways, which is what batch_edt masks on)
+    pk0, p0 = lower_envelope(f, payloads=(p,), chunk=8, packed_out=True)
+    has_site = valid.any(axis=0)
+    np.testing.assert_array_equal(np.asarray(pk0)[:, has_site],
+                                  np.asarray(pk)[:, has_site])
+    np.testing.assert_array_equal(np.asarray(p0)[:, has_site],
+                                  np.asarray(p2)[:, has_site])
+    assert not (np.asarray(p2)[:, ~has_site] & 1).any()
+    assert not (np.asarray(p0)[:, ~has_site] & 1).any()
+
+    # batch of 3 for the mid kernel, middle one completely siteless
+    fm = jnp.asarray(np.stack([fsq, np.full_like(fsq, big), fsq]))
+    pm = jnp.asarray(np.stack([pay, np.zeros_like(pay), pay]))
+    bm, sm, pm1 = env_mod.envelope_mid_pallas(fm, payloads=(pm,))
+    pkm, pm2 = env_mod.envelope_mid_pallas(fm, payloads=(pm,),
+                                           packed_out=True)
+    np.testing.assert_array_equal(
+        np.asarray(pkm), (np.asarray(bm) << ib) | np.asarray(sm))
+    np.testing.assert_array_equal(np.asarray(pm1), np.asarray(pm2))
+
+
 def test_envelope_mid_matches_flat(interp):
     """The batched middle-axis kernel must agree with the flat kernel applied
     to the transposed input, on every sited lane."""

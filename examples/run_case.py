@@ -114,12 +114,24 @@ def main():
                     help="scanned-replay mode: dispatch frames as lax.scan "
                          "chunks of K (process_*_batch; bit-identical to the "
                          "per-frame loop)")
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="run SPMD over an N-device mesh (canvas sharded "
+                         "along x); with --cpu, N virtual devices are "
+                         "created — bit-identical to single-device")
     args = ap.parse_args()
 
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        if args.mesh > 1:
+            jax.config.update("jax_num_cpu_devices", args.mesh)
+
+    mesh = None
+    if args.mesh > 1:
+        from gie_mapping_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh)
 
     cfg = load_config(args.case)
     if args.merge_mode is not None:
@@ -139,7 +151,7 @@ def main():
         # a sync readback per vis_interval — seconds over this 30 MB/s relay,
         # microseconds for a local deployment — so it is excluded here
         cfg = cfg.replace(display_glb_edt=False, display_glb_ogm=False)
-    mapper = VolumetricMapper(cfg, log_path=args.log)
+    mapper = VolumetricMapper(cfg, log_path=args.log, mesh=mesh)
 
     # materialise frames first: dataset simulation / replay decode is not
     # engine time
@@ -157,7 +169,7 @@ def main():
             cap = 1 << (maxpts - 1).bit_length()
             cfg = cfg.replace(max_raycast_points=min(
                 cfg.max_raycast_points, max(cap, 4096)))
-            mapper = VolumetricMapper(cfg, log_path=args.log)
+            mapper = VolumetricMapper(cfg, log_path=args.log, mesh=mesh)
 
         def _stage(kind, payload):
             if kind == "pointcloud":

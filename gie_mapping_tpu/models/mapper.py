@@ -138,11 +138,21 @@ class _ExtObs:
 class VolumetricMapper:
     """The mapping engine: feed poses + sensor frames, read cost maps."""
 
-    def __init__(self, cfg: MapConfig, device=None, log_path: Optional[str] = None):
+    def __init__(self, cfg: MapConfig, device=None, log_path: Optional[str] = None,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh — shards the canvas along x and
+        the archive over blocks across the mesh devices (parallel/mesh.py);
+        every frame program then runs SPMD with XLA-inserted ICI collectives,
+        bit-identical to the single-device run (tests/test_multichip.py)."""
         self.cfg = cfg
         self.device = device
+        self.mesh = mesh
         self.state = MapState.create(cfg)
-        if device is not None:
+        if mesh is not None:
+            from ..parallel.mesh import shard_state
+
+            self.state = shard_state(self.state, mesh)
+        elif device is not None:
             self.state = jax.device_put(self.state, device)
         self.ext_obs = _ExtObs(cfg)
         self._origin = None  # host mirror of the canvas origin (scroll gate)
@@ -174,6 +184,10 @@ class VolumetricMapper:
         cfg = self.cfg
         pvt, origin_blk, off = self._frame_geometry(np.asarray(robot_pos, np.float32))
         throwaway = MapState.create(cfg)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_state
+
+            throwaway = shard_state(throwaway, self.mesh)
         fence, fence_on = self._fence_args(pvt)
         throwaway = scroll_step(throwaway, jnp.asarray(origin_blk), cfg=cfg)
         _, out = merge_frame(
@@ -181,7 +195,7 @@ class VolumetricMapper:
             jnp.zeros(cfg.local_size, jnp.int32),
             jnp.asarray(pvt), jnp.asarray(origin_blk), jnp.asarray(off),
             *fence, cfg=cfg, input_pointcloud=False, do_scroll=False,
-            use_fence=fence_on,
+            use_fence=fence_on, mesh=self.mesh,
         )
         np.asarray(out["relax_iters"])  # force completion
         return self
@@ -304,12 +318,13 @@ class VolumetricMapper:
             self.state, out = scroll_frame_step(
                 self.state, pose, *fence, cfg=cfg,
                 input_pointcloud=input_pointcloud, use_fence=fence_on,
-                compact_rows=rows, compact_cols=cols, **extra,
+                compact_rows=rows, compact_cols=cols, mesh=self.mesh, **extra,
             )
         else:
             self.state, out = frame_step(
                 self.state, pose, *fence, cfg=cfg,
-                input_pointcloud=input_pointcloud, use_fence=fence_on, **extra,
+                input_pointcloud=input_pointcloud, use_fence=fence_on,
+                mesh=self.mesh, **extra,
             )
         t_end = time.perf_counter()
 
@@ -389,6 +404,10 @@ class VolumetricMapper:
         kw = {k.split("/", 1)[1]: jnp.asarray(raw[k]) for k in raw.files
               if k.startswith("state/")}
         self.state = dc.replace(self.state, **kw)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_state
+
+            self.state = shard_state(self.state, self.mesh)
         self.map_ct = int(raw["meta/map_ct"])
         self._origin = None  # force a scroll-sync on the next frame
         return self
@@ -740,7 +759,7 @@ class VolumetricMapper:
             self.state, out, changed_union, per_frame = replay_frames(
                 self.state, jnp.asarray(pose_h), jnp.asarray(scrolled), *fence,
                 cfg=cfg, input_pointcloud=input_pointcloud, use_fence=fence_on,
-                compact_rows=cr, compact_cols=cc, **extra)
+                compact_rows=cr, compact_cols=cc, mesh=self.mesh, **extra)
             last = plan[-1]
             self._origin = np.asarray(last[1]).copy()
             self.map_ct += n

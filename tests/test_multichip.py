@@ -72,6 +72,39 @@ def test_sharded_relax_engine_matches():
         np.testing.assert_array_equal(a["dist_sq"], b["dist_sq"])
 
 
+def test_mapper_mesh_matches_single(tmp_path):
+    """First-class multi-chip at the orchestrator level: VolumetricMapper
+    (mesh=...) must evolve bit-identically to the single-device mapper
+    through the sensor pipelines, and checkpoints must reload sharded."""
+    from gie_mapping_tpu.models.mapper import VolumetricMapper
+    from gie_mapping_tpu.runtime.datasets import BoxWorld, circular_trajectory
+
+    cfg = _cfg()
+    world = BoxWorld.corridor(seed=3, n_pillars=3, extent=2.0, height=1.4)
+
+    def run(mesh):
+        m = VolumetricMapper(cfg, mesh=mesh)
+        outs = []
+        for proj in circular_trajectory(3, radius=0.8, height=0.6):
+            r, tmin, tinc = world.scan_2d(proj, n_beams=90)
+            o = m.process_scan2d(proj, r, tmin, tinc)
+            outs.append((o.dist_sq.copy(), o.glb_type.copy()))
+        return m, outs
+
+    _, ref = run(None)
+    m1, shd = run(make_mesh(8))
+    for (d0, g0), (d1, g1) in zip(ref, shd):
+        np.testing.assert_array_equal(d0, d1)
+        np.testing.assert_array_equal(g0, g1)
+
+    # checkpoint round trip re-shards over the mesh
+    p = str(tmp_path / "mesh_ckpt.npz")
+    m1.save(p)
+    m2 = VolumetricMapper(cfg, mesh=make_mesh(8)).load(p)
+    np.testing.assert_array_equal(np.asarray(m1.state.dist_sq),
+                                  np.asarray(m2.state.dist_sq))
+
+
 def test_sharded_replay_matches():
     """The scanned replay program over an 8-device mesh must be bit-identical
     to the unsharded scan (in-scan scroll included)."""

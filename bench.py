@@ -40,7 +40,37 @@ CHUNK = 10  # frames per scanned replay dispatch
 TARGET_MS = 10.0
 
 
+def _wait_for_backend(max_wait_s: float = 2400.0):
+    """Block until the TPU backend is reachable (the shared tunnel goes down
+    for tens of minutes at a time: init then either hangs or raises
+    UNAVAILABLE).  Probes in a SUBPROCESS so a hanging init can be killed,
+    retries until the deadline, then re-raises loudly."""
+    import subprocess
+    import sys
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=240, capture_output=True)
+            if r.returncode == 0:
+                return
+            err = r.stderr.decode(errors="replace").strip().splitlines()
+            err = err[-1] if err else "unknown"
+        except subprocess.TimeoutExpired:
+            err = "backend init hung (killed after 240 s)"
+        if time.time() > deadline:
+            raise RuntimeError(f"TPU backend unreachable for {max_wait_s:.0f}s: {err}")
+        print(f"bench: backend probe {attempt} failed ({err}); retrying...",
+              file=sys.stderr)
+        time.sleep(min(60.0, max(1.0, deadline - time.time())))
+
+
 def main():
+    _wait_for_backend()
     import jax
 
     from gie_mapping_tpu.models.mapper import VolumetricMapper

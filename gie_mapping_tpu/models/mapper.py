@@ -99,6 +99,54 @@ class FrameOutput:
         idx = np.argwhere(sel)
         return (idx + self.pvt) * voxel_width, self.edt[sel] * voxel_width
 
+    def query_distance(self, points_world, voxel_width: float):
+        """Trilinearly-interpolated obstacle distance + gradient at world
+        points — the motion-planner consumer API.  The reference publishes
+        the raw CostMap payload and leaves interpolation to the planner;
+        here it is provided directly (host-side numpy, no reference
+        counterpart).
+
+        Args:
+          points_world: [..., 3] float metres.
+        Returns:
+          (dist_m [...], grad [..., 3] unitless d(dist)/d(position),
+           valid [...] bool — inside the window with all 8 corners seen).
+        """
+        pts = np.asarray(points_world, np.float64)
+        shp = np.asarray(self.edt.shape)
+        g = pts / voxel_width - self.pvt  # voxel centres sit on integers
+        g0 = np.floor(g).astype(np.int64)
+        inb = np.all((g >= 0) & (g <= shp - 1), axis=-1)
+        g0c = np.clip(g0, 0, shp - 2)
+        f = np.clip(g - g0c, 0.0, 1.0)
+
+        edt = self.edt
+        seen = self.seen
+        c = np.empty(pts.shape[:-1] + (2, 2, 2))
+        ok = np.ones(pts.shape[:-1], bool)
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    ix, iy, iz = g0c[..., 0] + dx, g0c[..., 1] + dy, g0c[..., 2] + dz
+                    c[..., dx, dy, dz] = edt[ix, iy, iz]
+                    ok &= seen[ix, iy, iz]
+
+        fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+        cz = c[..., 0] * (1 - fz[..., None, None]) + c[..., 1] * fz[..., None, None]
+        cy = cz[..., 0] * (1 - fy[..., None]) + cz[..., 1] * fy[..., None]
+        s = cy[..., 0] * (1 - fx) + cy[..., 1] * fx
+        # analytic trilinear partials (dist is s * voxel_width, position is
+        # g * voxel_width: the ratio is unitless)
+        gx = cy[..., 1] - cy[..., 0]
+        by = cz[..., 0, :] * (1 - fx[..., None]) + cz[..., 1, :] * fx[..., None]
+        gy = by[..., 1] - by[..., 0]
+        bz0 = c[..., 0, 0, :] * (1 - fy[..., None]) + c[..., 0, 1, :] * fy[..., None]
+        bz1 = c[..., 1, 0, :] * (1 - fy[..., None]) + c[..., 1, 1, :] * fy[..., None]
+        bz = bz0 * (1 - fx[..., None]) + bz1 * fx[..., None]
+        gz = bz[..., 1] - bz[..., 0]
+        grad = np.stack([gx, gy, gz], axis=-1)
+        return s * voxel_width, grad, inb & ok
+
 
 class _ExtObs:
     """Virtual fence / external-observer AABB set (Ext_Obs_Wrapper,

@@ -189,3 +189,39 @@ def test_shift_block_mask():
     out2 = np.asarray(_shift_block_mask(jnp.asarray(m),
                                         jnp.asarray([3, 0, 0], np.int32)))
     assert not out2.any()
+
+
+def test_query_distance_trilinear_exact():
+    """On a linear EDT field, trilinear interpolation and its analytic
+    gradient are exact; validity tracks window bounds + seen corners."""
+    from gie_mapping_tpu.models.mapper import FrameOutput
+    from gie_mapping_tpu.utils.constants import VOX_FREE
+
+    vw = 0.2
+    shape = (12, 10, 8)
+    pvt = np.asarray([5, -3, 2], np.int32)
+    gx, gy, gz = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    a, b, c, d = 0.5, -0.25, 1.5, 3.0
+    edt = (a * gx + b * gy + c * gz + d).astype(np.float32)
+    glb_type = np.full(shape, VOX_FREE, np.int8)
+    glb_type[0, 0, 0] = 0  # one UNKNOWN corner voxel
+    out = FrameOutput({"edt": edt, "glb_type": glb_type}, origin=pvt * vw,
+                      pvt=pvt)
+
+    rng = np.random.default_rng(7)
+    g = rng.uniform([1.0, 1.0, 1.0], np.asarray(shape) - 1.0, (64, 3))
+    pts = (g + pvt) * vw
+    dist, grad, valid = out.query_distance(pts, vw)
+    assert valid.all()
+    want = (a * g[:, 0] + b * g[:, 1] + c * g[:, 2] + d) * vw
+    np.testing.assert_allclose(dist, want, rtol=1e-6)
+    np.testing.assert_allclose(grad, np.tile([a, b, c], (64, 1)), atol=1e-9)
+
+    # voxel-centre query returns the grid value exactly
+    d0, g0, v0 = out.query_distance((pvt + [3, 4, 5]) * vw, vw)
+    np.testing.assert_allclose(d0, edt[3, 4, 5] * vw, rtol=1e-6)
+    # outside the window / touching the unseen corner -> invalid
+    _, _, v_out = out.query_distance((pvt - 1) * vw, vw)
+    assert not v_out
+    _, _, v_unseen = out.query_distance((pvt + 0.25) * vw, vw)
+    assert not v_unseen

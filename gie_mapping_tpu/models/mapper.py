@@ -99,6 +99,25 @@ class FrameOutput:
         idx = np.argwhere(sel)
         return (idx + self.pvt) * voxel_width, self.edt[sel] * voxel_width
 
+    def debug_voxel(self, point_world, voxel_width: float):
+        """Inspect the window voxel containing a world point — the dbg_pt
+        debug-topic equivalent (volumetric_mapper.cpp:113-115).  Returns a
+        dict (grid coords, type, dist_m, coc global coords) or None if the
+        point is outside the window."""
+        g = np.floor(np.asarray(point_world, np.float64) / voxel_width
+                     + 0.5).astype(np.int64) - self.pvt
+        if np.any(g < 0) or np.any(g >= np.asarray(self.edt.shape)):
+            return None
+        i, j, k = (int(v) for v in g)
+        return {
+            "loc": (i, j, k),
+            "glb": tuple(int(v) for v in (g + self.pvt)),
+            "type": int(self.glb_type[i, j, k]),
+            "dist_m": float(self.edt[i, j, k]) * voxel_width,
+            "dist_sq_grids": int(self.dist_sq[i, j, k]),
+            "coc": tuple(int(v) for v in self.coc[i, j, k]),
+        }
+
     def query_distance(self, points_world, voxel_width: float):
         """Trilinearly-interpolated obstacle distance + gradient at world
         points — the motion-planner consumer API.  The reference publishes

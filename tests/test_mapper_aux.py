@@ -225,3 +225,19 @@ def test_query_distance_trilinear_exact():
     assert not v_out
     _, _, v_unseen = out.query_distance((pvt + 0.25) * vw, vw)
     assert not v_unseen
+
+
+def test_debug_voxel():
+    """dbg_pt equivalent: voxel introspection at a world point."""
+    cfg = _small()
+    world = BoxWorld.corridor(seed=3, n_pillars=4, extent=4.0)
+    mapper = VolumetricMapper(cfg)
+    for proj in circular_trajectory(2, radius=1.0):
+        r, tmin, tinc = world.scan_2d(proj, n_beams=180)
+        out = mapper.process_scan2d(proj, r, tmin, tinc)
+    info = out.debug_voxel(np.asarray([0.0, 0.0, 0.9]), cfg.voxel_width)
+    assert info is not None
+    i, j, k = info["loc"]
+    assert info["dist_sq_grids"] == out.dist_sq[i, j, k]
+    assert info["glb"] == tuple(np.asarray(info["loc"]) + out.pvt)
+    assert out.debug_voxel(np.asarray([99.0, 0.0, 0.0]), cfg.voxel_width) is None

@@ -23,8 +23,10 @@ from .utils import constants
 __version__ = "0.1.0"
 
 
-def create_mapper(case: str = "cow_lady", **overrides):
-    """One-call engine construction for any benchmark case preset."""
+def create_mapper(case: str = "cow_lady", mesh=None, **overrides):
+    """One-call engine construction for any benchmark case preset.
+
+    mesh: optional jax.sharding.Mesh for multi-chip SPMD (parallel/mesh.py)."""
     from .models.mapper import VolumetricMapper
 
-    return VolumetricMapper(load_config(case, **overrides))
+    return VolumetricMapper(load_config(case, **overrides), mesh=mesh)

@@ -214,6 +214,9 @@ class VolumetricMapper:
         self.cfg = cfg
         self.device = device
         self.mesh = mesh
+        if device is not None and mesh is not None:
+            raise ValueError("device and mesh are mutually exclusive: a mesh "
+                             "places state across its own devices")
         self.state = MapState.create(cfg)
         if mesh is not None:
             from ..parallel.mesh import shard_state

@@ -82,7 +82,7 @@ def lower_envelope(fsq, payloads=(), chunk: int = 8,
     """
     N = fsq.shape[0]
     n_chunks = -(-N // chunk)
-    idx_bits = (N - 1).bit_length() if N > 1 else 1
+    idx_bits = env_idx_bits(N)
     cap = (1 << (31 - idx_bits)) - 1
     i_idx = jnp.arange(N, dtype=jnp.int32)
     tail_shape = (1,) * (fsq.ndim - 1)
@@ -117,10 +117,15 @@ def _use_pallas() -> bool:
         return False
 
 
-def _env_idx_bits(n: int) -> int:
-    """The envelope kernels' packed-output site-bit budget for an n-site
-    axis (must mirror envelope.py / lower_envelope exactly)."""
+def env_idx_bits(n: int) -> int:
+    """Site-index bit budget of the packed envelope key for an n-site axis —
+    the single source of truth: the Pallas kernels (ops/pallas/envelope.py),
+    the dense fallback (lower_envelope) and every packed-output consumer all
+    import this."""
     return (n - 1).bit_length() if n > 1 else 1
+
+
+_env_idx_bits = env_idx_bits  # internal alias used below
 
 
 def _edt_zmajor_core(occ, env, max_width: int, z_global: int, reshard1,

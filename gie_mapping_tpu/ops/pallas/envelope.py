@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..edt_batch import env_idx_bits
+
 LANES = 128
 XC = 64  # output rows per program
 
@@ -201,7 +203,7 @@ def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True,
                  mono: bool = False, packed_out: bool = False):
     """fsq int32 [N, L]; payloads tuple of int32 [N, L]."""
     N, L = fsq.shape
-    idx_bits = (N - 1).bit_length() if N > 1 else 1
+    idx_bits = env_idx_bits(N)
     Lp = _round_up(L, LANES)
     Np = _round_up(N, XC)
     cap = (1 << (31 - idx_bits)) - 1
@@ -394,7 +396,7 @@ def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True,
                      mono: bool = False, packed_out: bool = False):
     """f int32 [B, N, L]; envelope along axis 1; outputs [B, N, L]."""
     B, N, L = f.shape
-    idx_bits = (N - 1).bit_length() if N > 1 else 1
+    idx_bits = env_idx_bits(N)
     Lp = _round_up(L, LANES)
     Np = _round_up(N, XC)
     cap = (1 << (31 - idx_bits)) - 1

@@ -29,6 +29,28 @@ def _scenario():
     return outs
 
 
+GOLDEN_RELAX = os.path.join(os.path.dirname(__file__), "golden_scan2d_relax.npz")
+
+
+def _scenario_relax():
+    """Same trajectory as _scenario but through the reference-mirroring
+    relaxation engine (raise/lower wavefront composition)."""
+    from gie_mapping_tpu.models.mapper import VolumetricMapper
+    from gie_mapping_tpu.runtime.datasets import BoxWorld, circular_trajectory
+    from gie_mapping_tpu.utils.config import scan2d_config
+
+    cfg = scan2d_config(local_size_m=(6.0, 6.0, 1.2), voxel_width=0.2,
+                        cutoff_dist=3.0, max_blocks=4096,
+                        merge_mode="relax", fast_mode=False)
+    world = BoxWorld.corridor(seed=42, n_pillars=5, extent=4.0)
+    mapper = VolumetricMapper(cfg)
+    outs = []
+    for proj in circular_trajectory(5, radius=1.2, height=0.7):
+        r, tmin, tinc = world.scan_2d(proj, n_beams=240)
+        outs.append(mapper.process_scan2d(proj, r, tmin, tinc))
+    return outs
+
+
 GOLDEN_PC = os.path.join(os.path.dirname(__file__), "golden_pointcloud.npz")
 
 
@@ -121,6 +143,11 @@ def test_golden_multiscan():
     _check(_scenario_vlp(), GOLDEN_VLP)
 
 
+def test_golden_relax_engine():
+    assert os.path.exists(GOLDEN_RELAX), "regenerate with python tests/test_golden.py --regen"
+    _check(_scenario_relax(), GOLDEN_RELAX)
+
+
 if __name__ == "__main__":
     if "--regen" in sys.argv:
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -129,7 +156,8 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", "cpu")
         for fn, path in ((_scenario, GOLDEN), (_scenario_pc, GOLDEN_PC),
                          (_scenario_depth, GOLDEN_DEPTH),
-                         (_scenario_vlp, GOLDEN_VLP)):
+                         (_scenario_vlp, GOLDEN_VLP),
+                         (_scenario_relax, GOLDEN_RELAX)):
             outs = fn()
             data = {}
             for i in (0, len(outs) - 1):

@@ -43,7 +43,8 @@ def _round_up(v, m):
 
 
 def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, mono, packed_out,
-                     active_ref, lo_ref, hi_ref, men_ref, f_hbm, *refs):
+                     fusepay, active_ref, lo_ref, hi_ref, men_ref, f_hbm,
+                     *refs):
     """Site operands stay in HBM; the active branch DMAs one [N,128] lane
     tile into VMEM scratch (once per lane tile — xc==0 runs first), so
     skipped tiles pay neither compute nor fetch.
@@ -61,7 +62,15 @@ def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, mono, packed_out,
     packed_out: emit the ONE packed reduction word (best << idx_bits | site)
     instead of separate best/site arrays — one fewer full-size HBM write
     here and one fewer read downstream; the caller unpacks with shifts that
-    XLA fuses into its next pass."""
+    XLA fuses into its next pass.
+
+    fusepay: select payloads inside the min-reduction loop via a running
+    argmin (where(packed < acc)) instead of a second equality pass — half
+    the loop trips, ~same vector work per trip.  Exact: packed keys are
+    unique per site, so the running select picks the same winner; a lane
+    with NO valid site in the band may carry payload 0 instead of an
+    invalid site's payload, but its valid bit is 0 either way (batch_edt
+    masks on it)."""
     n_main = 1 if packed_out else 2
     pay_hbm = refs[:n_payloads]
     outs_main = refs[n_payloads: n_payloads + n_main]
@@ -124,7 +133,29 @@ def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, mono, packed_out,
         if mono:
             lo = jnp.maximum(lo, carry[0] * men_ref[0])
         hi = hi_ref[lx * n_xc + xc]
-        acc = jax.lax.fori_loop(lo, hi, body, init)
+
+        if fusepay and n_payloads:
+            def fused_body(i, accs):
+                acc = accs[0]
+                fi = f_vmem[i, :].reshape(1, LANES)
+                dx = xs - i
+                cand = jnp.minimum(dx * dx + jnp.minimum(fi, cap), cap)
+                packed = (cand << idx_bits) | i
+                better = packed < acc
+                return (jnp.minimum(acc, packed),) + tuple(
+                    jnp.where(better, pay_vmem[k][i, :].reshape(1, LANES),
+                              accs[1 + k])
+                    for k in range(n_payloads)
+                )
+
+            res = jax.lax.fori_loop(
+                lo, hi, fused_body,
+                (init,) + tuple(jnp.zeros((XC, LANES), jnp.int32)
+                                for _ in range(n_payloads)))
+            acc, sels = res[0], res[1:]
+        else:
+            acc = jax.lax.fori_loop(lo, hi, body, init)
+            sels = None
         site = acc & ((1 << idx_bits) - 1)
         best = acc >> idx_bits
         if packed_out:
@@ -138,16 +169,19 @@ def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, mono, packed_out,
                 jnp.where(last_sited, site[XC - 1, :], jnp.int32(n_sites)))
 
         if n_payloads:
-            inits = tuple(jnp.zeros((XC, LANES), jnp.int32) for _ in range(n_payloads))
+            if sels is None:
+                inits = tuple(jnp.zeros((XC, LANES), jnp.int32)
+                              for _ in range(n_payloads))
 
-            def pay_body(i, accs):
-                hit = site == i
-                return tuple(
-                    jnp.where(hit, pay_vmem[k][i, :].reshape(1, LANES), accs[k])
-                    for k in range(n_payloads)
-                )
+                def pay_body(i, accs):
+                    hit = site == i
+                    return tuple(
+                        jnp.where(hit, pay_vmem[k][i, :].reshape(1, LANES),
+                                  accs[k])
+                        for k in range(n_payloads)
+                    )
 
-            sels = jax.lax.fori_loop(lo, hi, pay_body, inits)
+                sels = jax.lax.fori_loop(lo, hi, pay_body, inits)
             for k in range(n_payloads):
                 out_pays[k][:, :] = sels[k]
 
@@ -198,9 +232,10 @@ def _chunk_bands(fp, N, n_tiles, n_xc, lo, hi, big):
 
 
 @functools.partial(jax.jit, static_argnames=("n_payloads", "bands", "mono",
-                                              "packed_out"))
+                                              "packed_out", "fusepay"))
 def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True,
-                 mono: bool = False, packed_out: bool = False):
+                 mono: bool = False, packed_out: bool = False,
+                 fusepay: bool = False):
     """fsq int32 [N, L]; payloads tuple of int32 [N, L]."""
     N, L = fsq.shape
     idx_bits = env_idx_bits(N)
@@ -254,7 +289,7 @@ def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True,
     )
     outs = pl.pallas_call(
         functools.partial(_envelope_kernel, N, idx_bits, n_payloads, n_xc,
-                          mono, packed_out),
+                          mono, packed_out, fusepay),
         grid_spec=grid_spec,
         out_shape=tuple(
             jax.ShapeDtypeStruct((Np, Lp), jnp.int32) for _ in range(n_out)
@@ -264,8 +299,8 @@ def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True,
 
 
 def _envelope_mid_kernel(n_sites, idx_bits, n_payloads, n_tiles, n_xc, mono,
-                         packed_out, active_ref, lo_ref, hi_ref, men_ref,
-                         f_hbm, *refs):
+                         packed_out, fusepay, active_ref, lo_ref, hi_ref,
+                         men_ref, f_hbm, *refs):
     """Batched variant of _envelope_kernel: the envelope runs along the
     MIDDLE axis of [B, N, L] inputs (grid dim 0 = batch), so a consumer can
     read a producer's [X, Z, Y] layout directly — the [X,Z,Y]->[Z,X,Y]
@@ -328,7 +363,29 @@ def _envelope_mid_kernel(n_sites, idx_bits, n_payloads, n_tiles, n_xc, mono,
         if mono:  # see _envelope_kernel: gated winner-monotonicity carry
             lo = jnp.maximum(lo, carry[0] * men_ref[0])
         hi = hi_ref[tid * n_xc + xc]
-        acc = jax.lax.fori_loop(lo, hi, body, init)
+
+        if fusepay and n_payloads:  # see _envelope_kernel
+            def fused_body(i, accs):
+                acc = accs[0]
+                fi = f_vmem[i, :].reshape(1, LANES)
+                dx = xs - i
+                cand = jnp.minimum(dx * dx + jnp.minimum(fi, cap), cap)
+                packed = (cand << idx_bits) | i
+                better = packed < acc
+                return (jnp.minimum(acc, packed),) + tuple(
+                    jnp.where(better, pay_vmem[k][i, :].reshape(1, LANES),
+                              accs[1 + k])
+                    for k in range(n_payloads)
+                )
+
+            res = jax.lax.fori_loop(
+                lo, hi, fused_body,
+                (init,) + tuple(jnp.zeros((XC, LANES), jnp.int32)
+                                for _ in range(n_payloads)))
+            acc, sels = res[0], res[1:]
+        else:
+            acc = jax.lax.fori_loop(lo, hi, body, init)
+            sels = None
         site = acc & ((1 << idx_bits) - 1)
         best = acc >> idx_bits
         if packed_out:
@@ -342,17 +399,19 @@ def _envelope_mid_kernel(n_sites, idx_bits, n_payloads, n_tiles, n_xc, mono,
                 jnp.where(last_sited, site[XC - 1, :], jnp.int32(n_sites)))
 
         if n_payloads:
-            inits = tuple(jnp.zeros((XC, LANES), jnp.int32)
-                          for _ in range(n_payloads))
+            if sels is None:
+                inits = tuple(jnp.zeros((XC, LANES), jnp.int32)
+                              for _ in range(n_payloads))
 
-            def pay_body(i, accs):
-                hit = site == i
-                return tuple(
-                    jnp.where(hit, pay_vmem[k][i, :].reshape(1, LANES), accs[k])
-                    for k in range(n_payloads)
-                )
+                def pay_body(i, accs):
+                    hit = site == i
+                    return tuple(
+                        jnp.where(hit, pay_vmem[k][i, :].reshape(1, LANES),
+                                  accs[k])
+                        for k in range(n_payloads)
+                    )
 
-            sels = jax.lax.fori_loop(lo, hi, pay_body, inits)
+                sels = jax.lax.fori_loop(lo, hi, pay_body, inits)
             for k in range(n_payloads):
                 out_pays[k][...] = sels[k].reshape(1, XC, LANES)
 
@@ -391,9 +450,10 @@ def _chunk_bands_batched(fp, N, n_tiles, n_xc, lo, hi, big):
 
 
 @functools.partial(jax.jit, static_argnames=("n_payloads", "bands", "mono",
-                                              "packed_out"))
+                                              "packed_out", "fusepay"))
 def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True,
-                     mono: bool = False, packed_out: bool = False):
+                     mono: bool = False, packed_out: bool = False,
+                     fusepay: bool = False):
     """f int32 [B, N, L]; envelope along axis 1; outputs [B, N, L]."""
     B, N, L = f.shape
     idx_bits = env_idx_bits(N)
@@ -446,7 +506,7 @@ def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True,
     )
     outs = pl.pallas_call(
         functools.partial(_envelope_mid_kernel, N, idx_bits, n_payloads,
-                          n_tiles, n_xc, mono, packed_out),
+                          n_tiles, n_xc, mono, packed_out, fusepay),
         grid_spec=grid_spec,
         out_shape=tuple(
             jax.ShapeDtypeStruct((B, Np, Lp), jnp.int32) for _ in range(n_out)
@@ -456,7 +516,8 @@ def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True,
 
 
 def envelope_mid_pallas(fsq, payloads=(), bands: bool = True,
-                        mono: bool = False, packed_out: bool = False):
+                        mono: bool = False, packed_out: bool = False,
+                        fusepay: bool = False):
     """(best, site, *payloads) envelope along axis 1 of [B, N, ...]: the
     batched middle-axis variant (outputs keep the input layout).  With
     packed_out, ((best << idx_bits | site), *payloads) instead."""
@@ -469,13 +530,13 @@ def envelope_mid_pallas(fsq, payloads=(), bands: bool = True,
         fsq.reshape(B, N, L),
         tuple(p.reshape(B, N, L) for p in payloads),
         n_payloads=len(payloads), bands=bands, mono=mono,
-        packed_out=packed_out,
+        packed_out=packed_out, fusepay=fusepay,
     )
     return tuple(r.reshape(shape) for r in res)
 
 
 def envelope_pallas(fsq, payloads=(), bands: bool = True, mono: bool = False,
-                    packed_out: bool = False):
+                    packed_out: bool = False, fusepay: bool = False):
     """Drop-in (best, site, *payloads) envelope over axis 0 of [N, ...].
     With packed_out, ((best << idx_bits | site), *payloads) instead — one
     fewer full-size output (see _envelope_kernel)."""
@@ -488,6 +549,6 @@ def envelope_pallas(fsq, payloads=(), bands: bool = True, mono: bool = False,
         fsq.reshape(N, L),
         tuple(p.reshape(N, L) for p in payloads),
         n_payloads=len(payloads), bands=bands, mono=mono,
-        packed_out=packed_out,
+        packed_out=packed_out, fusepay=fusepay,
     )
     return tuple(r.reshape(shape) for r in res)

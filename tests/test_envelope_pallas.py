@@ -105,10 +105,15 @@ def test_envelope_mono_carry_exact(interp):
     b0, s0, p0 = lower_envelope(f, payloads=(p,), chunk=8)
     b1, s1, p1 = env_mod.envelope_pallas(f, payloads=(p,), mono=True)
     b2, s2, p2 = env_mod.envelope_pallas(f, payloads=(p,), mono=False)
+    b3, s3, p3 = env_mod.envelope_pallas(f, payloads=(p,), fusepay=True)
+    b4, s4, p4 = env_mod.envelope_pallas(f, payloads=(p,), mono=True,
+                                         fusepay=True)
 
     has_site = valid.any(axis=0)
     for name, (bx, sx, px) in {"mono": (b1, s1, p1),
-                               "nomono": (b2, s2, p2)}.items():
+                               "nomono": (b2, s2, p2),
+                               "fusepay": (b3, s3, p3),
+                               "mono+fusepay": (b4, s4, p4)}.items():
         np.testing.assert_array_equal(np.asarray(b0)[:, has_site],
                                       np.asarray(bx)[:, has_site], err_msg=name)
         np.testing.assert_array_equal(np.asarray(s0)[:, has_site],
@@ -151,6 +156,14 @@ def test_envelope_packed_out_matches_unpacked(interp):
     assert not (np.asarray(p2)[:, ~has_site] & 1).any()
     assert not (np.asarray(p0)[:, ~has_site] & 1).any()
 
+    # fusepay x packed_out composition
+    pkf, pf = env_mod.envelope_pallas(f, payloads=(p,), packed_out=True,
+                                      fusepay=True)
+    np.testing.assert_array_equal(np.asarray(pkf)[:, has_site],
+                                  np.asarray(pk)[:, has_site])
+    np.testing.assert_array_equal(np.asarray(pf)[:, has_site],
+                                  np.asarray(p2)[:, has_site])
+
     # batch of 3 for the mid kernel, middle one completely siteless
     fm = jnp.asarray(np.stack([fsq, np.full_like(fsq, big), fsq]))
     pm = jnp.asarray(np.stack([pay, np.zeros_like(pay), pay]))
@@ -160,6 +173,15 @@ def test_envelope_packed_out_matches_unpacked(interp):
     np.testing.assert_array_equal(
         np.asarray(pkm), (np.asarray(bm) << ib) | np.asarray(sm))
     np.testing.assert_array_equal(np.asarray(pm1), np.asarray(pm2))
+    # mid-kernel fusepay composition: packed word identical everywhere (same
+    # reduction); payloads identical on sited lanes, valid bit 0 on the rest
+    pkmf, pmf = env_mod.envelope_mid_pallas(fm, payloads=(pm,),
+                                            packed_out=True, fusepay=True)
+    np.testing.assert_array_equal(np.asarray(pkmf), np.asarray(pkm))
+    hs_m = np.stack([valid.any(0)] * 2)[:, None, :].repeat(N, 1)  # [2, N, L]
+    np.testing.assert_array_equal(np.asarray(pmf)[[0, 2]][hs_m],
+                                  np.asarray(pm2)[[0, 2]][hs_m])
+    assert not (np.asarray(pmf)[[0, 2]][~hs_m] & 1).any()
 
 
 def test_envelope_mid_matches_flat(interp):

@@ -81,3 +81,18 @@ def test_lower_envelope_matches_bruteforce(rng):
     cand = (x - i) ** 2 + fsq[None, :, :]
     np.testing.assert_array_equal(np.asarray(best), cand.min(1))
     np.testing.assert_array_equal(np.asarray(arg), cand.argmin(1))
+
+
+def test_batch_edt_zmajor_off_matches():
+    """The legacy y-major lane ordering (zmajor=False A/B path) must stay
+    equivalent to the default z-major path."""
+    rng = np.random.default_rng(77)
+    shape = (22, 18, 10)
+    occ = rng.random(shape) < 0.05
+    glb = jnp.asarray(np.where(occ, 2, 0).astype(np.int8))
+    mw = sum(shape)
+    a = batch_edt(glb, max_width=mw, pallas=False)
+    b = batch_edt(glb, max_width=mw, pallas=False, zmajor=False)
+    for k in ("dist_sq", "coc", "valid"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)

@@ -127,6 +127,15 @@ def env_idx_bits(n: int) -> int:
 
 _env_idx_bits = env_idx_bits  # internal alias used below
 
+# Envelope-kernel loop variants (ops/pallas/envelope.py): bit-identical on
+# valid lanes, different loop shapes.  Dense (non-Pallas) calls ignore them.
+_ENV_VARIANTS = {
+    "base": {},
+    "mono": {"mono": True},
+    "fusepay": {"fusepay": True},
+    "mono+fusepay": {"mono": True, "fusepay": True},
+}
+
 
 def _edt_zmajor_core(occ, env, max_width: int, z_global: int, reshard1,
                      reshard2, env_mid=None):
@@ -183,9 +192,10 @@ def _edt_zmajor_core(occ, env, max_width: int, z_global: int, reshard1,
 
 
 @partial(jax.jit, static_argnames=("max_width", "chunk", "pallas", "zmajor",
-                                   "mid"))
+                                   "mid", "env_variant"))
 def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = None,
-              zmajor: bool = True, mid: bool | None = None):
+              zmajor: bool = True, mid: bool | None = None,
+              env_variant: str = "base"):
     """Batch local EDT over a dense grid.
 
     Args:

@@ -80,6 +80,12 @@ class MapConfig:
     # limit the wavefronts converge to); "relax" = iterative fixed-point
     # relaxation mirroring the reference's raise/lower wavefront composition
     merge_mode: str = "canvas_edt"
+    # Envelope-kernel loop variant for the batch EDT ("base" | "mono" |
+    # "fusepay" | "mono+fusepay"); all are bit-identical on valid lanes.
+    # On-TPU interleaved A/B (bench_env_variants_ab): "base" wins
+    # depthcam-class canvases clearly (24.6 vs 34.6 ms mono) and ties
+    # cow-lady; "mono" wins ugv-class (~14%) — opt in per case.
+    edt_env_variant: str = "base"
     max_relax_iters: Optional[int] = None  # cap on fixed-point sweeps (None=auto)
     stream_max_blocks: Optional[int] = None  # compaction size for D2H streaming
 

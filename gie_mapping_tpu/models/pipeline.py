@@ -201,9 +201,10 @@ def merge_frame_impl(
             # shard_map + all_to_all phase boundaries: per-device Pallas
             # envelopes on local shards (GSPMD would replicate the kernel)
             full = batch_edt_sharded(canvas_type, max_width=sum(canvas_size),
-                                     mesh=mesh)
+                                     mesh=mesh, env_variant=cfg.edt_env_variant)
         else:
-            full = batch_edt(canvas_type, max_width=sum(canvas_size))
+            full = batch_edt(canvas_type, max_width=sum(canvas_size),
+                             env_variant=cfg.edt_env_variant)
         new_dist = jnp.where(full["valid"], full["dist_sq"], EMPTY_VALUE)
         new_coc = jnp.where(
             full["valid"][..., None],
@@ -223,7 +224,8 @@ def merge_frame_impl(
         relax_iters = jnp.int32(0)
     else:
         # ---- iterative wavefront-equivalent path ("relax") ---------------
-        batch = batch_edt(glb_type, max_width=cfg.max_width)
+        batch = batch_edt(glb_type, max_width=cfg.max_width,
+                          env_variant=cfg.edt_env_variant)
         seed_dist, seed_coc = reconcile_window(
             batch, win(state.dist_sq), win(state.coc), glb_type, pvt, local_size
         )

@@ -215,10 +215,12 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = No
     X, Y, Z = occ.shape
     if pallas is None:
         pallas = _use_pallas()
+    vkw = _ENV_VARIANTS[env_variant]
     if pallas:
         from .pallas.envelope import envelope_pallas
 
-        env = lambda f, payloads: envelope_pallas(f, payloads, packed_out=True)
+        env = lambda f, payloads: envelope_pallas(f, payloads,
+                                                  packed_out=True, **vkw)
     else:
         env = lambda f, payloads: lower_envelope(f, payloads=payloads,
                                                  chunk=chunk, packed_out=True)
@@ -236,8 +238,8 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = No
     if mid and pallas and zmajor and Z > 1:
         from .pallas.envelope import envelope_mid_pallas
 
-        env_mid = lambda f, payloads: envelope_mid_pallas(f, payloads,
-                                                          packed_out=True)
+        env_mid = lambda f, payloads: envelope_mid_pallas(
+            f, payloads, packed_out=True, **vkw)
     if zmajor and Z > 1:
         tzy = lambda a: jnp.transpose(a, (0, 2, 1))
         packed_c, pay3b, zbits = _edt_zmajor_core(
@@ -306,9 +308,10 @@ def sharded_edt_ok(shape, mesh) -> bool:
     return n > 1 and Z > 1 and X % n == 0 and Z % n == 0
 
 
-@partial(jax.jit, static_argnames=("max_width", "chunk", "pallas", "mesh"))
+@partial(jax.jit, static_argnames=("max_width", "chunk", "pallas", "mesh",
+                                   "env_variant"))
 def batch_edt_sharded(glb_type, max_width: int, mesh, chunk: int = 8,
-                      pallas: bool | None = None):
+                      pallas: bool | None = None, env_variant: str = "base"):
     """batch_edt over a canvas sharded along x on a 1-D device mesh.
 
     Distributed separable-transform layout (the classic sharded-FFT recipe,
@@ -333,10 +336,12 @@ def batch_edt_sharded(glb_type, max_width: int, mesh, chunk: int = 8,
     X, Y, Z = occ.shape
     if pallas is None:
         pallas = _use_pallas()
+    vkw = _ENV_VARIANTS[env_variant]
     if pallas:
         from .pallas.envelope import envelope_pallas
 
-        env = lambda f, payloads: envelope_pallas(f, payloads, packed_out=True)
+        env = lambda f, payloads: envelope_pallas(f, payloads,
+                                                  packed_out=True, **vkw)
     else:
         env = lambda f, payloads: lower_envelope(f, payloads=payloads,
                                                  chunk=chunk, packed_out=True)

@@ -82,10 +82,12 @@ class MapConfig:
     merge_mode: str = "canvas_edt"
     # Envelope-kernel loop variant for the batch EDT ("base" | "mono" |
     # "fusepay" | "mono+fusepay"); all are bit-identical on valid lanes.
-    # On-TPU interleaved A/B (bench_env_variants_ab): "base" wins
-    # depthcam-class canvases clearly (24.6 vs 34.6 ms mono) and ties
-    # cow-lady; "mono" wins ugv-class (~14%) — opt in per case.
-    edt_env_variant: str = "base"
+    # On-TPU interleaved A/B (bench_env_variants_ab, one run, compiles
+    # cached): "fusepay" wins every canvas class — cow-lady 5.75 vs 6.26,
+    # depthcam 22.54 vs 23.18, ugv 7.38 vs 8.91 ms; "mono" is mixed across
+    # runs (throttle-sensitive), so the single-loop fused payload select is
+    # the default everywhere.
+    edt_env_variant: str = "fusepay"
     max_relax_iters: Optional[int] = None  # cap on fixed-point sweeps (None=auto)
     stream_max_blocks: Optional[int] = None  # compaction size for D2H streaming
 

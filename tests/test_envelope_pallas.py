@@ -261,3 +261,23 @@ def test_envelope_pallas_multichunk_sparse(interp):
                                   np.asarray(s1)[:, has_site])
     np.testing.assert_array_equal(np.asarray(p0)[:, has_site],
                                   np.asarray(p1)[:, has_site])
+
+
+def test_batch_edt_env_variants_identical(interp):
+    """batch_edt(env_variant=...) plumbing: all four kernel loop variants
+    produce bit-identical EDT outputs (the variants only reshape the
+    reduction loop; cfg.edt_env_variant selects them per case)."""
+    from gie_mapping_tpu.ops.edt_batch import _ENV_VARIANTS, batch_edt
+
+    rng = np.random.default_rng(47)
+    shape = (24, 20, 12)
+    occ = (rng.random(shape) < 0.05)
+    glb = jnp.asarray(np.where(occ, 2, 0).astype(np.int8))
+    mw = sum(shape)
+    ref = batch_edt(glb, max_width=mw, pallas=False)
+    for name in _ENV_VARIANTS:
+        got = batch_edt(glb, max_width=mw, pallas=True, env_variant=name)
+        for k in ("dist_sq", "coc", "valid"):
+            np.testing.assert_array_equal(
+                np.asarray(ref[k]), np.asarray(got[k]),
+                err_msg=f"{name}:{k}")

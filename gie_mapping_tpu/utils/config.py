@@ -91,6 +91,15 @@ class MapConfig:
     max_relax_iters: Optional[int] = None  # cap on fixed-point sweeps (None=auto)
     stream_max_blocks: Optional[int] = None  # compaction size for D2H streaming
 
+    def __post_init__(self):
+        if self.merge_mode not in ("canvas_edt", "relax"):
+            raise ValueError(f"merge_mode {self.merge_mode!r} not in "
+                             "('canvas_edt', 'relax')")
+        variants = ("base", "mono", "fusepay", "mono+fusepay")
+        if self.edt_env_variant not in variants:
+            raise ValueError(f"edt_env_variant {self.edt_env_variant!r} "
+                             f"not in {variants}")
+
     # ---- derived static geometry -------------------------------------
     @property
     def local_size(self) -> Tuple[int, int, int]:

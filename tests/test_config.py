@@ -59,3 +59,14 @@ def test_parse_reference_yamls():
     assert cow.local_size == (100, 100, 30)
     assert not cow.fast_mode
     assert cow.max_blocks == 11997
+
+
+def test_invalid_enum_values_rejected():
+    import pytest as _pytest
+
+    from gie_mapping_tpu.utils.config import MapConfig
+
+    with _pytest.raises(ValueError, match="merge_mode"):
+        MapConfig(merge_mode="bogus")
+    with _pytest.raises(ValueError, match="edt_env_variant"):
+        MapConfig(edt_env_variant="bogus")

@@ -44,16 +44,38 @@ def _round_up(v, m):
     return (v + m - 1) // m * m
 
 
+def _split3_bf16(x):
+    """Lossless f32 -> 3x bf16 Dekker split: x == a + b + c exactly in f32
+    (each RN step captures >= 8 of the 24 mantissa bits and the residual is
+    exactly representable, so the one-hot row select below reconstructs the
+    f32 value bit-exactly)."""
+    a = x.astype(jnp.bfloat16)
+    r1 = x - a.astype(jnp.float32)
+    b = r1.astype(jnp.bfloat16)
+    c = (r1 - b.astype(jnp.float32)).astype(jnp.bfloat16)
+    return a, b, c
+
+
 def _carve_kernel(nt, np_, zp, depth_ref, cnt_ref, bt_ref, vbp_ref,
                   vd_ref, vc_ref):
     oh = (
         jax.lax.broadcasted_iota(jnp.int32, (nt, CS), 0) == bt_ref[0:1, :]
-    ).astype(jnp.float32)
-    hi = jax.lax.Precision.HIGHEST
-    a_d = jax.lax.dot_general(depth_ref[:, :], oh, (((1,), (0,)), ((), ())),
-                              precision=hi)  # [NP, CS]
-    a_c = jax.lax.dot_general(cnt_ref[:, :], oh, (((1,), (0,)), ((), ())),
-                              precision=hi)
+    ).astype(jnp.bfloat16)
+
+    def select(vals):
+        # exact 0/1 weights are a single bf16 MXU pass; splitting only the
+        # VALUE operand costs 3 passes per table vs HIGHEST f32xf32's 6
+        # (the one-hot needs no split), halving the kernel's MXU work while
+        # staying bit-exact (one non-zero product per output, f32 accum)
+        parts = [
+            jax.lax.dot_general(v, oh, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            for v in _split3_bf16(vals)
+        ]
+        return (parts[0] + parts[1]) + parts[2]  # [NP, CS]
+
+    a_d = select(depth_ref[:, :])
+    a_c = select(cnt_ref[:, :])
     p_iota = jax.lax.broadcasted_iota(jnp.int32, (np_, CS), 0)
     for z in range(zp):
         m = p_iota == vbp_ref[z:z + 1, :]

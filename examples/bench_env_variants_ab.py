@@ -33,9 +33,9 @@ K = 12
 ROUNDS = 4
 VARIANTS = {
     "base": dict(),
-    "mono": dict(mono=True),
     "fusepay": dict(fusepay=True),
-    "mono+fusepay": dict(mono=True, fusepay=True),
+    "cf": dict(cf=True, fusepay=True),
+    "cf_base": dict(cf=True),
 }
 
 
@@ -95,7 +95,10 @@ def main():
         for vname, kw in VARIANTS.items():
             r = jax.jit(functools.partial(edt_with, **kw))(glb)
             valid = np.asarray(base["p"] & 1, bool)
-            ok[vname] = (bool(jnp.array_equal(base["d"], r["d"]))
+            # compare on valid lanes only: siteless lanes carry variant-
+            # dependent (masked-downstream) garbage
+            ok[vname] = (np.array_equal(np.asarray(r["d"])[valid],
+                                        np.asarray(base["d"])[valid])
                          and np.array_equal(np.asarray(r["p"])[valid],
                                             np.asarray(base["p"])[valid]))
             timers[vname] = chained(functools.partial(edt_with, **kw), glb)

@@ -39,6 +39,87 @@ def make_glb(shape, zlo, zhi, frac, seed):
     return np.where(occ, 2, 1).astype(np.int8)
 
 
+def check_carve():
+    """Compiled-Mosaic panorama_select (ops/pallas/carve.py) vs the XLA
+    gather formulation it replaces — the MXU one-hot bf16-split row select
+    must be bit-exact on device (interpret mode can't catch Mosaic bugs)."""
+    from gie_mapping_tpu.ops.pallas.carve import panorama_select
+
+    rng = np.random.default_rng(7)
+    nt, np_ = 96, 64
+    X, Y, Z = 40, 36, 20
+    depth = rng.uniform(0.1, 30.0, (nt, np_)).astype(np.float32)
+    depth[rng.random((nt, np_)) < 0.3] = 1e30  # empty-bin sentinel
+    cnt = rng.integers(0, 1000, (nt, np_)).astype(np.int32)
+    bt = rng.integers(0, nt, (X, Y)).astype(np.int32)
+    vbp = rng.integers(0, np_, (X, Y, Z)).astype(np.int32)
+    vd, vc = (np.asarray(a) for a in panorama_select(
+        jnp.asarray(depth), jnp.asarray(cnt), jnp.asarray(bt),
+        jnp.asarray(vbp)))
+    rd = depth[bt[..., None], vbp]
+    rc_ = cnt[bt[..., None], vbp]
+    ok = np.array_equal(vd, rd) and np.array_equal(vc, rc_)
+    print(f"carve panorama_select == XLA gather: {ok}")
+    return int(not ok)
+
+
+def check_scroll_stream():
+    """Compiled-Mosaic blockrows kernels (ops/pallas/blockrows.py) via a full
+    scroll round-trip + stream_extract, each vs the transpose-based XLA path
+    — covers gather/scatter_block_rows and gather/scatter_archive_rows."""
+    import dataclasses
+
+    from gie_mapping_tpu.map_state import (MapState, _do_scroll,
+                                           stream_extract)
+    from gie_mapping_tpu.utils.config import load_config
+
+    cfg = load_config("cow_lady")
+    rng = np.random.default_rng(11)
+    cs, cb = cfg.canvas_size, cfg.canvas_blocks
+    st = MapState.create(cfg)
+    st = dataclasses.replace(
+        st,
+        occ_val=jnp.asarray(rng.integers(0, 255, cs, np.uint8)),
+        vox_type=jnp.asarray(rng.integers(0, 3, cs).astype(np.int8)),
+        dist_sq=jnp.asarray(rng.integers(0, 999999, cs).astype(np.int32)),
+        coc=jnp.asarray(rng.integers(-500, 500, cs + (3,)).astype(np.int16)),
+        present=jnp.asarray(rng.random(cb) < 0.6),
+    )
+    fields = ("occ_val", "vox_type", "dist_sq", "coc", "present",
+              "arch_keys", "n_arch", "a_packed", "arch_dropped")
+    # out then back (the load path runs): single-axis unit shifts so the
+    # exiting/entering bounds fit compact_rows/cols, as the mapper guarantees
+    # (_scroll_compact_rows); violating the bounds is undefined on BOTH paths
+    shifts = [np.array(s, np.int32) for s in
+              [(1, 0, 0), (0, 1, 0), (-1, 0, 0), (0, -1, 0)]]
+    fails = 0
+    for use_pallas in (True, False):
+        s = st
+        for sh in shifts:
+            s = jax.jit(
+                lambda s_, o_: _do_scroll(s_, o_, cfg, compact_rows=256,
+                                          compact_cols=32,
+                                          use_pallas=use_pallas)
+            )(s, jnp.asarray(np.asarray(s.origin_blk) + sh))
+        if use_pallas:
+            got = {f: np.asarray(getattr(s, f)) for f in fields}
+        else:
+            ok = all(np.array_equal(got[f], np.asarray(getattr(s, f)))
+                     for f in fields)
+            print(f"scroll round-trip pallas == dense: {ok}")
+            fails += not ok
+    changed = jnp.asarray(rng.random(cb) < 0.2)
+    carry = jnp.zeros(cb, jnp.bool_)
+    outs = [
+        [np.asarray(a) for a in stream_extract(
+            st, changed, carry, cfg=cfg, k_cols=32, use_pallas=up)]
+        for up in (True, False)
+    ]
+    ok = all(np.array_equal(a, b) for a, b in zip(*outs))
+    print(f"stream_extract pallas == dense: {ok}")
+    return fails + (not ok)
+
+
 def main():
     from gie_mapping_tpu.ops.edt_batch import batch_edt
 
@@ -79,6 +160,9 @@ def main():
     ok = np.allclose(np.where(np.asarray(got["valid"]), d, sp), sp)
     print("scipy dist_sq equality:", ok)
     failures += not ok
+
+    failures += check_carve()
+    failures += check_scroll_stream()
 
     if failures:
         print(f"FAILED: {failures} mismatches", file=sys.stderr)

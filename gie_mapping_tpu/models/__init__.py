@@ -1,2 +1,2 @@
-from .mapper import VolumetricMapper, FrameOutput
+from .mapper import CapacityWarning, FrameOutput, VolumetricMapper
 from .pipeline import merge_frame

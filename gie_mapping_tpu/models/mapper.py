@@ -11,6 +11,7 @@ arrays (runtime/datasets.py provides replayers).
 from __future__ import annotations
 
 import time
+import warnings
 from typing import Optional
 
 import jax
@@ -167,6 +168,15 @@ class FrameOutput:
         return s * voxel_width, grad, inb & ok
 
 
+class CapacityWarning(UserWarning):
+    """A capacity edge was hit: archive full (scrolled-out map data dropped),
+    streaming backlog not draining, or the relaxation sweep cap reached.
+
+    The reference fails loudly on every such edge (wave_helper.h:26-30,82-88;
+    unify_helper.cuh:107-113,511-517; blockalloc.h:56-58).  This engine warns
+    by default and raises a RuntimeError with cfg.capacity_strict."""
+
+
 class _ExtObs:
     """Virtual fence / external-observer AABB set (Ext_Obs_Wrapper,
     include/map_structure/pre_map.h:12-29, src/kernel/pre_map/pre_map.cu)."""
@@ -232,6 +242,15 @@ class VolumetricMapper:
         self.replay_scanned_frames = 0
         self.replay_scanned_scrolls = 0
         self.mirror = None  # lazily-constructed runtime.host_mirror.HostMirror
+        # capacity monitor (loud saturation, CapacityWarning): the per-frame
+        # scalars ride an async D2H so the dispatch path never synchronises;
+        # each frame ingests the PREVIOUS frame's values
+        self._cap_pending = None
+        self._cap_dropped_seen = 0
+        self._stream_stall = 0
+        self._stall_reported = False
+        self._last_leftover = 0
+        self._stream_rot = 0
         self.last_output: Optional[FrameOutput] = None
         self.logger = None
         if log_path is not None or cfg.profile_loc_rms or cfg.profile_glb_rms:
@@ -412,15 +431,78 @@ class VolumetricMapper:
             self.map_ct % cfg.vis_interval == 0
         ):
             self._stream(out, origin_blk)
+        self._queue_capacity_guard(out["arch_dropped"], out["relax_iters"])
 
         # profiling path (reference: visualize() pauses the bag, checks RMSE
-        # and logs CSV, volumetric_mapper.h:320-356)
+        # and logs CSV, volumetric_mapper.h:320-356): profile_loc_rms checks
+        # the window EDT; profile_glb_rms checks the streamed global mirror
+        # (the publish_glb_2_rviz consumer view) — distinct routes
         if self.gt_checker is not None and self.map_ct % cfg.vis_interval == 0:
-            self.gt_checker.check_frame(result, cfg.voxel_width, self.logger)
+            if cfg.profile_loc_rms:
+                self.gt_checker.check_frame(result, cfg.voxel_width,
+                                            self.logger)
+            if cfg.profile_glb_rms and self.mirror is not None:
+                self.flush_stream()  # ingest in-flight rows first
+                self.gt_checker.check_global(self.mirror, cfg.voxel_width,
+                                             self.logger)
         if self.logger is not None:
             self.logger.log_frame(result.ogm_time_ms, result.edt_time_ms,
-                                  self.logger.take_pending_rmse())
+                                  self.logger.take_pending_rmse(),
+                                  self._cap_dropped_seen, self._last_leftover)
         return result
+
+    # -- capacity monitor ------------------------------------------------
+    def _alert(self, msg: str):
+        if self.cfg.capacity_strict:
+            raise RuntimeError(msg)
+        if self.cfg.capacity_warn:
+            warnings.warn(msg, CapacityWarning, stacklevel=3)
+
+    def check_capacity(self):
+        """Ingest the previous frame's capacity scalars and report saturation
+        (the loud counterpart of the reference's device asserts,
+        wave_helper.h:82-88).  Called automatically at the next frame; call
+        directly (after the final frame) to drain the last pending check."""
+        p, self._cap_pending = self._cap_pending, None
+        if p is None:
+            return
+        dropped = int(np.asarray(p["arch_dropped"]))
+        if dropped > self._cap_dropped_seen:
+            n = dropped - self._cap_dropped_seen
+            self._cap_dropped_seen = dropped
+            self._alert(
+                f"archive capacity exhausted: {n} scrolled-out block(s) "
+                f"dropped this frame ({dropped} total) — map data is being "
+                f"lost; increase cfg.max_blocks (currently "
+                f"{self.cfg.max_blocks})")
+        if "relax_iters" in p:
+            ri = int(np.asarray(p["relax_iters"]))
+            if ri >= self.cfg.relax_iters:
+                self._alert(
+                    f"relaxation hit its sweep cap ({ri} >= "
+                    f"{self.cfg.relax_iters}): the wavefront fixed point may "
+                    f"not have converged; raise cfg.max_relax_iters")
+
+    def _queue_capacity_guard(self, arch_dropped, relax_iters=None):
+        self.check_capacity()
+        scalars = {"arch_dropped": arch_dropped}
+        if relax_iters is not None and self.cfg.merge_mode == "relax":
+            scalars["relax_iters"] = relax_iters
+        for a in scalars.values():
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        self._cap_pending = scalars
+
+    def capacity_report(self) -> dict:
+        """Current saturation counters (host view)."""
+        return {
+            "arch_dropped": self._cap_dropped_seen,
+            "n_arch": int(np.asarray(self.state.n_arch)),
+            "stream_leftover": self._last_leftover,
+            "stream_stall_ticks": self._stream_stall,
+        }
 
     # -- auxiliary channels --------------------------------------------
     def process_ext_cloud(self, points, premap_ll=None, premap_ur=None):
@@ -502,19 +584,25 @@ class VolumetricMapper:
         cb = self.cfg.canvas_blocks
         if getattr(self, "_stream_carry", None) is None:
             self._stream_carry = jnp.zeros(tuple(cb), jnp.bool_)
-        k_cols = min(cb[0] * cb[1], 64)
+        k_cols = self.cfg.stream_k_cols or min(cb[0] * cb[1], 64)
+        k_cols = min(k_cols, cb[0] * cb[1])
         ids, valid, rows, blk_mask, leftover = stream_extract(
             self.state, out["changed_blk"], self._stream_carry,
-            cfg=self.cfg, k_cols=k_cols,
+            jnp.int32(self._stream_rot), cfg=self.cfg, k_cols=k_cols,
         )
+        # round-robin service offset: bounded staleness when more columns
+        # change per tick than k_cols can serve
+        self._stream_rot = (self._stream_rot + k_cols) % (cb[0] * cb[1])
         self._stream_carry = leftover
-        for a in (ids, valid, rows, blk_mask):
+        self._stream_k_cols = k_cols
+        lo_cnt = jnp.sum(jnp.any(leftover, axis=2).astype(jnp.int32))
+        for a in (ids, valid, rows, blk_mask, lo_cnt):
             try:
                 a.copy_to_host_async()
             except Exception:
                 pass
         self._stream_pending = (ids, valid, rows, blk_mask,
-                                np.asarray(origin_blk).copy())
+                                np.asarray(origin_blk).copy(), lo_cnt)
 
     def flush_stream(self):
         """Ingest any in-flight streamed rows into the host mirror."""
@@ -522,11 +610,34 @@ class VolumetricMapper:
         if p is None:
             return 0
         self._stream_pending = None
-        ids, valid, rows, blk_mask, origin_blk = p
-        return self.mirror.ingest_rows(
+        ids, valid, rows, blk_mask, origin_blk, lo_cnt = p
+        n = self.mirror.ingest_rows(
             np.asarray(ids), np.asarray(valid), np.asarray(rows),
             np.asarray(blk_mask), origin_blk,
         )
+        # streaming-backlog stall detection (reference analogue: the
+        # stream-capacity asserts, unify_helper.cuh:107-113,511-517).  With
+        # round-robin service a bounded backlog only delays the mirror by
+        # ceil(ncols/k_cols) ticks; the loud condition is a backlog the
+        # rotation cannot even cycle through within stream_stall_ticks —
+        # persistent for that many consecutive ticks.
+        self._last_leftover = int(np.asarray(lo_cnt))
+        k = getattr(self, "_stream_k_cols", 64)
+        if self._last_leftover > self.cfg.stream_stall_ticks * k:
+            self._stream_stall += 1
+            if (self._stream_stall >= self.cfg.stream_stall_ticks
+                    and not self._stall_reported):
+                self._stall_reported = True
+                self._alert(
+                    f"streaming backlog: {self._last_leftover} changed "
+                    f"block-column(s) undrained for {self._stream_stall} "
+                    f"consecutive ticks (service rate {k} cols/tick) — the "
+                    f"host mirror is falling behind; raise "
+                    f"cfg.stream_k_cols or lower cfg.vis_interval")
+        else:
+            self._stream_stall = 0
+            self._stall_reported = False
+        return n
 
     # -- the four map makers -------------------------------------------
     def process_scan2d(self, proj: geo.Projection, ranges, theta_min, theta_inc):
@@ -848,9 +959,16 @@ class VolumetricMapper:
                     self._stream_carry = _shift_block_mask(self._stream_carry,
                                                            net)
                 self._stream({"changed_blk": changed_union}, self._origin)
+            # arch_dropped is cumulative (last frame covers the chunk); the
+            # relax cap check uses the chunk's worst frame
+            self._queue_capacity_guard(
+                per_frame["arch_dropped"][-1],
+                jnp.max(per_frame["relax_iters"]))
             if self.logger is not None:
                 for _ in range(n):
                     self.logger.log_frame(0.0, dt,
-                                          self.logger.take_pending_rmse())
+                                          self.logger.take_pending_rmse(),
+                                          self._cap_dropped_seen,
+                                          self._last_leftover)
             i += n
         return result

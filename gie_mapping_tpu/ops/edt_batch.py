@@ -134,7 +134,20 @@ _ENV_VARIANTS = {
     "mono": {"mono": True},
     "fusepay": {"fusepay": True},
     "mono+fusepay": {"mono": True, "fusepay": True},
+    # coarse-to-fine: SUB-row sub-chunks with winner-bracket bands + the
+    # monotonicity carry (ops/pallas/envelope.py::_cf_bands)
+    "cf": {"cf": True, "fusepay": True},
+    "cf_base": {"cf": True},
 }
+
+
+def _env_variant_kwargs(env_variant: str) -> dict:
+    """Resolve an envelope-variant name, failing loudly on typos (MapConfig
+    validates at construction; this guards direct batch_edt callers)."""
+    if env_variant not in _ENV_VARIANTS:
+        raise ValueError(f"unknown env_variant {env_variant!r}; valid: "
+                         f"{sorted(_ENV_VARIANTS)}")
+    return _ENV_VARIANTS[env_variant]
 
 
 def _edt_zmajor_core(occ, env, max_width: int, z_global: int, reshard1,
@@ -215,7 +228,7 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = No
     X, Y, Z = occ.shape
     if pallas is None:
         pallas = _use_pallas()
-    vkw = _ENV_VARIANTS[env_variant]
+    vkw = _env_variant_kwargs(env_variant)
     if pallas:
         from .pallas.envelope import envelope_pallas
 
@@ -336,7 +349,7 @@ def batch_edt_sharded(glb_type, max_width: int, mesh, chunk: int = 8,
     X, Y, Z = occ.shape
     if pallas is None:
         pallas = _use_pallas()
-    vkw = _ENV_VARIANTS[env_variant]
+    vkw = _env_variant_kwargs(env_variant)
     if pallas:
         from .pallas.envelope import envelope_pallas
 

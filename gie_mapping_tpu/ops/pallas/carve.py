@@ -97,6 +97,14 @@ def panorama_select(depth2d, cnt2d, bt, vbp, *, interpret: bool = False):
 
     Returns (vdepth f32 [X,Y,Z], vcnt int32 [X,Y,Z]) — bit-identical to
     depth2d[bt[...,None], vbp] / cnt2d[...].
+
+    Precondition (the _split3_bf16 value path): every depth2d/cnt2d value
+    must be a NORMAL f32 with |x| <= bf16_max (~3.39e38).  Values above
+    bf16_max round to inf and reconstruct as NaN (inf + -inf), and
+    f32-subnormal residuals are not representable in bf16.  The raycast's
+    inputs satisfy this by construction (depths are metres with a 1e30
+    "empty bin" sentinel; counts are small ints) — do NOT switch the empty
+    sentinel to FLT_MAX.
     """
     NT, NP = depth2d.shape
     X, Y, Z = vbp.shape

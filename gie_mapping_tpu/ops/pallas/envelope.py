@@ -36,6 +36,7 @@ from ..edt_batch import env_idx_bits
 
 LANES = 128
 XC = 64  # output rows per program
+SUB = 8  # rows per coarse-to-fine sub-chunk (one int32 vreg of sublanes)
 
 
 def _round_up(v, m):
@@ -43,7 +44,7 @@ def _round_up(v, m):
 
 
 def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, mono, packed_out,
-                     fusepay, active_ref, lo_ref, hi_ref, men_ref, f_hbm,
+                     fusepay, cf, active_ref, lo_ref, hi_ref, men_ref, f_hbm,
                      *refs):
     """Site operands stay in HBM; the active branch DMAs one [N,128] lane
     tile into VMEM scratch (once per lane tile — xc==0 runs first), so
@@ -70,7 +71,22 @@ def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, mono, packed_out,
     unique per site, so the running select picks the same winner; a lane
     with NO valid site in the band may carry payload 0 instead of an
     invalid site's payload, but its valid bit is 0 either way (batch_edt
-    masks on it)."""
+    masks on it).
+
+    cf (coarse-to-fine): the XC-row chunk splits into XC/SUB sub-chunks of
+    SUB rows, each with its OWN [lo, hi) band — indexed
+    [(lx * n_xc + xc) * (XC//SUB) + s] — so a sub-chunk 8 rows past the
+    last useful site stops immediately instead of riding the whole chunk's
+    band.  The host intersects three sound bounds per sub-chunk (see
+    _cf_bands): the SUB-granular radius bound, the winner bracket from
+    exact coarse winners at chunk boundaries (the envelope argmin is
+    non-decreasing in x, ties->smallest included), and the site slab; the
+    kernel adds the winner-monotonicity carry (lo of sub-chunk s+1 >= min
+    sited-lane winner of s's last row, gated by men_ref exactly like mono).
+    Every excluded site loses strictly for every sited lane, so outputs
+    stay bit-identical.  This is the two-level transform that stops
+    far-from-frustum lanes paying the tile-worst radius: winner POSITIONS
+    cluster at the sites, so brackets stay narrow where radii are huge."""
     n_main = 1 if packed_out else 2
     pay_hbm = refs[:n_payloads]
     outs_main = refs[n_payloads: n_payloads + n_main]
@@ -112,83 +128,92 @@ def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, mono, packed_out,
                 cp.start()
                 cp.wait()
 
-        xs = jax.lax.broadcasted_iota(jnp.int32, (XC, LANES), 0) + xc * XC
-        init = jnp.full((XC, LANES), jnp.int32(0x7FFFFFFF), jnp.int32)
-
-        def body(i, acc):
-            fi = f_vmem[i, :].reshape(1, LANES)
-            dx = xs - i
-            cand = jnp.minimum(dx * dx + jnp.minimum(fi, cap), cap)
-            packed = (cand << idx_bits) | i
-            return jnp.minimum(acc, packed)
-
         # winner-monotonicity carry: the envelope's argmin is non-decreasing
-        # in x, so the previous chunk's last-row winner (min over lanes whose
-        # winner is a real site) lower-bounds every winner in this chunk —
-        # tightening the coarse-to-fine band's lo from below.  Soundness
-        # needs `best < cap` to mean exactly "this lane has a finite site"
+        # in x, so the previous (sub-)chunk's last-row winner (min over lanes
+        # whose winner is a real site) lower-bounds every winner in the next
+        # — tightening the band's lo from below.  Soundness needs
+        # `best < cap` to mean exactly "this lane has a finite site"
         # — i.e. no sited lane's cost may CLAMP to cap — so the host gates
         # the carry (men_ref) on max_finite_f + (Np-1)^2 < cap.
-        lo = lo_ref[lx * n_xc + xc]
-        if mono:
-            lo = jnp.maximum(lo, carry[0] * men_ref[0])
-        hi = hi_ref[lx * n_xc + xc]
+        n_sub = XC // SUB if cf else 1
+        width = SUB if cf else XC
+        use_carry = mono or cf
 
-        if fusepay and n_payloads:
-            def fused_body(i, accs):
-                acc = accs[0]
+        for s in range(n_sub):
+            xs = (jax.lax.broadcasted_iota(jnp.int32, (width, LANES), 0)
+                  + (xc * XC + s * width))
+            init = jnp.full((width, LANES), jnp.int32(0x7FFFFFFF), jnp.int32)
+            rows = slice(s * width, (s + 1) * width)
+
+            lo = lo_ref[(lx * n_xc + xc) * n_sub + s]
+            if use_carry:
+                lo = jnp.maximum(lo, carry[0] * men_ref[0])
+            hi = hi_ref[(lx * n_xc + xc) * n_sub + s]
+
+            def body(i, acc, xs=xs):
                 fi = f_vmem[i, :].reshape(1, LANES)
                 dx = xs - i
                 cand = jnp.minimum(dx * dx + jnp.minimum(fi, cap), cap)
                 packed = (cand << idx_bits) | i
-                better = packed < acc
-                return (jnp.minimum(acc, packed),) + tuple(
-                    jnp.where(better, pay_vmem[k][i, :].reshape(1, LANES),
-                              accs[1 + k])
-                    for k in range(n_payloads)
-                )
+                return jnp.minimum(acc, packed)
 
-            res = jax.lax.fori_loop(
-                lo, hi, fused_body,
-                (init,) + tuple(jnp.zeros((XC, LANES), jnp.int32)
-                                for _ in range(n_payloads)))
-            acc, sels = res[0], res[1:]
-        else:
-            acc = jax.lax.fori_loop(lo, hi, body, init)
-            sels = None
-        site = acc & ((1 << idx_bits) - 1)
-        best = acc >> idx_bits
-        if packed_out:
-            outs_main[0][:, :] = acc
-        else:
-            outs_main[0][:, :] = best
-            outs_main[1][:, :] = site
-        if mono:
-            last_sited = best[XC - 1, :] < cap
-            carry[0] = jnp.min(
-                jnp.where(last_sited, site[XC - 1, :], jnp.int32(n_sites)))
-
-        if n_payloads:
-            if sels is None:
-                inits = tuple(jnp.zeros((XC, LANES), jnp.int32)
-                              for _ in range(n_payloads))
-
-                def pay_body(i, accs):
-                    hit = site == i
-                    return tuple(
-                        jnp.where(hit, pay_vmem[k][i, :].reshape(1, LANES),
-                                  accs[k])
+            if fusepay and n_payloads:
+                def fused_body(i, accs, xs=xs):
+                    acc = accs[0]
+                    fi = f_vmem[i, :].reshape(1, LANES)
+                    dx = xs - i
+                    cand = jnp.minimum(dx * dx + jnp.minimum(fi, cap), cap)
+                    packed = (cand << idx_bits) | i
+                    better = packed < acc
+                    return (jnp.minimum(acc, packed),) + tuple(
+                        jnp.where(better, pay_vmem[k][i, :].reshape(1, LANES),
+                                  accs[1 + k])
                         for k in range(n_payloads)
                     )
 
-                sels = jax.lax.fori_loop(lo, hi, pay_body, inits)
-            for k in range(n_payloads):
-                out_pays[k][:, :] = sels[k]
+                res = jax.lax.fori_loop(
+                    lo, hi, fused_body,
+                    (init,) + tuple(jnp.zeros((width, LANES), jnp.int32)
+                                    for _ in range(n_payloads)))
+                acc, sels = res[0], res[1:]
+            else:
+                acc = jax.lax.fori_loop(lo, hi, body, init)
+                sels = None
+            site = acc & ((1 << idx_bits) - 1)
+            best = acc >> idx_bits
+            if packed_out:
+                outs_main[0][rows, :] = acc
+            else:
+                outs_main[0][rows, :] = best
+                outs_main[1][rows, :] = site
+            if use_carry:
+                last_sited = best[width - 1, :] < cap
+                carry[0] = jnp.min(
+                    jnp.where(last_sited, site[width - 1, :],
+                              jnp.int32(n_sites)))
+
+            if n_payloads:
+                if sels is None:
+                    inits = tuple(jnp.zeros((width, LANES), jnp.int32)
+                                  for _ in range(n_payloads))
+
+                    def pay_body(i, accs, site=site):
+                        hit = site == i
+                        return tuple(
+                            jnp.where(hit,
+                                      pay_vmem[k][i, :].reshape(1, LANES),
+                                      accs[k])
+                            for k in range(n_payloads)
+                        )
+
+                    sels = jax.lax.fori_loop(lo, hi, pay_body, inits)
+                for k in range(n_payloads):
+                    out_pays[k][rows, :] = sels[k]
 
 
-def _chunk_bands(fp, N, n_tiles, n_xc, lo, hi, big):
+def _chunk_bands(fp, N, n_tiles, n_chunks, lo, hi, big, width=XC):
     """Per-(x-chunk, lane-tile) site bands [lo2, hi2) that provably contain
-    every possible winner (coarse-to-fine bound).
+    every possible winner (radius bound).
 
     For each lane, group sites into 8-wide coarse blocks and take the block
     minimum of f.  For chunk c and lane l,
@@ -199,43 +224,95 @@ def _chunk_bands(fp, N, n_tiles, n_xc, lo, hi, big):
     [chunk - r, chunk + r] with r = floor(sqrt(max_sited_lanes U)) + 1 keeps
     results bit-identical for sited lanes while cutting the loop on sparse
     maps.  Lanes with no finite site are excluded from the tile max (their
-    outputs are payload-invalid either way)."""
+    outputs are payload-invalid either way).
+
+    width: rows per chunk — XC for the plain kernel, SUB for the
+    coarse-to-fine sub-chunk bands (n_chunks scales accordingly)."""
     nb = -(-N // 8)
     fpad = jnp.pad(fp, ((0, nb * 8 - N), (0, 0)), constant_values=big)
     fmin8 = jnp.min(fpad.reshape(nb, 8, -1), axis=1)           # [nb, Lp]
     sited = jnp.any(fmin8 < big, axis=0)                       # [Lp]
 
-    c_idx = jnp.arange(n_xc, dtype=jnp.int32)
+    c_idx = jnp.arange(n_chunks, dtype=jnp.int32)
     cb_idx = jnp.arange(nb, dtype=jnp.int32)
-    a = c_idx * XC                                             # chunk start
-    b = a + (XC - 1)                                           # chunk end
+    a = c_idx * width                                          # chunk start
+    b = a + (width - 1)                                        # chunk end
     blo = cb_idx * 8
     bhi = jnp.minimum(blo + 7, N - 1)
     maxdx = jnp.maximum(jnp.abs(a[:, None] - bhi[None, :]),
-                        jnp.abs(b[:, None] - blo[None, :]))    # [n_xc, nb]
+                        jnp.abs(b[:, None] - blo[None, :]))    # [n_chunks, nb]
     # int32-safe: maxdx^2 <= N^2 <= 2^(2*idx_bits) and fmin8 <= cap
     # < 2^(31-idx_bits), whose sum stays < 2^31 for every legal idx_bits
     terms = (maxdx.astype(jnp.int32)[..., None] ** 2
-             + jnp.minimum(fmin8, big)[None])                  # [n_xc, nb, Lp]
-    U = jnp.min(terms, axis=1)                                 # [n_xc, Lp]
+             + jnp.minimum(fmin8, big)[None])               # [n_chunks, nb, Lp]
+    U = jnp.min(terms, axis=1)                                 # [n_chunks, Lp]
     U = jnp.where(sited[None, :], U, jnp.int32(-1))
-    U_t = jnp.max(U.reshape(n_xc, n_tiles, LANES), axis=2)     # [n_xc, tiles]
+    U_t = jnp.max(U.reshape(n_chunks, n_tiles, LANES), axis=2)  # [n_chunks, tiles]
     # f32 sqrt absolute error << 1 for U < 2^31; the +1 slack absorbs it
     r = (jnp.floor(jnp.sqrt(jnp.maximum(U_t, 0).astype(jnp.float32)))
          .astype(jnp.int32) + 1)
     lo2 = jnp.maximum(lo[None, :], (a[:, None] - r))
     hi2 = jnp.minimum(hi[None, :], (b[:, None] + 1 + r))
     hi2 = jnp.maximum(hi2, lo2)                                # empty stays empty
-    # kernel indexes [lx * n_xc + xc]
+    # kernel indexes [lx * n_chunks + c]
     return (jnp.transpose(lo2).reshape(-1).astype(jnp.int32),
             jnp.transpose(hi2).reshape(-1).astype(jnp.int32))
 
 
+def _coarse_winners(fp, N, n_pts, idx_bits, cap):
+    """Exact envelope argmin (ties -> smallest site, the kernel's own packed
+    tie rule) at the chunk-boundary points x = k*XC, k in [0, n_pts).
+
+    One XLA broadcast-reduce — n_pts <= Np/XC + 1 is tiny, so this pass is
+    memory-bound at ~n_pts reads of f.  Returns winner sites [n_pts, Lp]
+    (undefined garbage on lanes with no finite site; callers mask)."""
+    xs = (jnp.arange(n_pts, dtype=jnp.int32) * XC)[:, None, None]
+    i_idx = jnp.arange(N, dtype=jnp.int32)[None, :, None]
+    fc = jnp.minimum(fp, cap)[None]                            # [1, N, Lp]
+    dx = xs - i_idx
+    cand = jnp.minimum(dx * dx + fc, cap)
+    packed = (cand << idx_bits) | i_idx
+    return jnp.min(packed, axis=1) & ((1 << idx_bits) - 1)     # [n_pts, Lp]
+
+
+def _cf_bands(fp, N, n_tiles, n_xc, lo, hi, big, idx_bits):
+    """Coarse-to-fine bands: per-(SUB-row sub-chunk, lane-tile) [lo2, hi2) =
+    radius bound @ SUB granularity  ∩  winner bracket @ XC granularity.
+
+    The winner bracket: the envelope's smallest-index argmin m(x) is
+    non-decreasing in x (total monotonicity of (x-i)^2 + f[i]; ties ->
+    smallest preserved), so for every x in chunk k and every sited lane,
+    m(x) in [m(k*XC), m((k+1)*XC)].  Taking min/max over a tile's sited
+    lanes gives a sound per-tile bracket whose width tracks the SITE spread
+    — not the distance-to-site — so far-from-frustum chunks stop paying
+    radius-sized bands.  Exactness: every excluded site loses strictly (or
+    ties at a larger index) for every sited lane."""
+    nsub = XC // SUB
+    lo_u, hi_u = _chunk_bands(fp, N, n_tiles, n_xc * nsub, lo, hi, big,
+                              width=SUB)                # [tiles * n_xc * nsub]
+    w = _coarse_winners(fp, N, n_xc + 1, idx_bits, big)        # [n_xc+1, Lp]
+    sited = jnp.any(fp < big, axis=0)                          # [Lp]
+    w_lo = jnp.where(sited[None, :], w, N)
+    w_hi = jnp.where(sited[None, :], w, -1)
+    w_lo_t = jnp.min(w_lo.reshape(n_xc + 1, n_tiles, LANES), axis=2)
+    w_hi_t = jnp.max(w_hi.reshape(n_xc + 1, n_tiles, LANES), axis=2)
+    blo = w_lo_t[:-1]                                          # [n_xc, tiles]
+    bhi = w_hi_t[1:] + 1
+    # broadcast XC-level brackets to the SUB sub-chunks and intersect;
+    # kernel index layout: [(lx * n_xc + xc) * nsub + s]
+    blo_f = jnp.transpose(blo).reshape(n_tiles * n_xc, 1)
+    bhi_f = jnp.transpose(bhi).reshape(n_tiles * n_xc, 1)
+    lo2 = jnp.maximum(lo_u.reshape(n_tiles * n_xc, nsub), blo_f)
+    hi2 = jnp.minimum(hi_u.reshape(n_tiles * n_xc, nsub), bhi_f)
+    hi2 = jnp.maximum(hi2, lo2)
+    return lo2.reshape(-1).astype(jnp.int32), hi2.reshape(-1).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("n_payloads", "bands", "mono",
-                                              "packed_out", "fusepay"))
+                                              "packed_out", "fusepay", "cf"))
 def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True,
                  mono: bool = False, packed_out: bool = False,
-                 fusepay: bool = False):
+                 fusepay: bool = False, cf: bool = False):
     """fsq int32 [N, L]; payloads tuple of int32 [N, L]."""
     N, L = fsq.shape
     idx_bits = env_idx_bits(N)
@@ -253,7 +330,10 @@ def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True,
     active = any_t.astype(jnp.int32)
     lo = jnp.where(any_t, jnp.argmax(act_s, axis=0), 0).astype(jnp.int32)
     hi = jnp.where(any_t, N - jnp.argmax(act_s[::-1], axis=0), 0).astype(jnp.int32)
-    if bands:
+    if cf:
+        lo, hi = _cf_bands(fp, N, n_tiles, n_xc, lo, hi, jnp.int32(cap),
+                           idx_bits)
+    elif bands:
         lo, hi = _chunk_bands(fp, N, n_tiles, n_xc, lo, hi, jnp.int32(cap))
     else:  # per-tile slab only (A/B baseline)
         lo = jnp.repeat(lo, n_xc)
@@ -289,7 +369,7 @@ def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True,
     )
     outs = pl.pallas_call(
         functools.partial(_envelope_kernel, N, idx_bits, n_payloads, n_xc,
-                          mono, packed_out, fusepay),
+                          mono, packed_out, fusepay, cf),
         grid_spec=grid_spec,
         out_shape=tuple(
             jax.ShapeDtypeStruct((Np, Lp), jnp.int32) for _ in range(n_out)
@@ -299,14 +379,15 @@ def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True,
 
 
 def _envelope_mid_kernel(n_sites, idx_bits, n_payloads, n_tiles, n_xc, mono,
-                         packed_out, fusepay, active_ref, lo_ref, hi_ref,
+                         packed_out, fusepay, cf, active_ref, lo_ref, hi_ref,
                          men_ref, f_hbm, *refs):
     """Batched variant of _envelope_kernel: the envelope runs along the
     MIDDLE axis of [B, N, L] inputs (grid dim 0 = batch), so a consumer can
     read a producer's [X, Z, Y] layout directly — the [X,Z,Y]->[Z,X,Y]
     transpose pair between two pallas_calls (which XLA cannot fuse away)
-    disappears.  Per-(b, lane-tile) site slabs and per-chunk coarse-to-fine
-    bands work exactly as in the flat kernel, indexed at b*n_tiles + lx."""
+    disappears.  Per-(b, lane-tile) site slabs and per-chunk bands (incl.
+    the cf sub-chunk bands) work exactly as in the flat kernel, indexed at
+    b*n_tiles + lx."""
     n_main = 1 if packed_out else 2
     pay_hbm = refs[:n_payloads]
     outs_main = refs[n_payloads: n_payloads + n_main]
@@ -349,111 +430,143 @@ def _envelope_mid_kernel(n_sites, idx_bits, n_payloads, n_tiles, n_xc, mono,
                 cp.start()
                 cp.wait()
 
-        xs = jax.lax.broadcasted_iota(jnp.int32, (XC, LANES), 0) + xc * XC
-        init = jnp.full((XC, LANES), jnp.int32(0x7FFFFFFF), jnp.int32)
+        n_sub = XC // SUB if cf else 1
+        width = SUB if cf else XC
 
-        def body(i, acc):
-            fi = f_vmem[i, :].reshape(1, LANES)
-            dx = xs - i
-            cand = jnp.minimum(dx * dx + jnp.minimum(fi, cap), cap)
-            packed = (cand << idx_bits) | i
-            return jnp.minimum(acc, packed)
+        for s in range(n_sub):
+            xs = (jax.lax.broadcasted_iota(jnp.int32, (width, LANES), 0)
+                  + (xc * XC + s * width))
+            init = jnp.full((width, LANES), jnp.int32(0x7FFFFFFF), jnp.int32)
+            rows = slice(s * width, (s + 1) * width)
 
-        lo = lo_ref[tid * n_xc + xc]
-        if mono:  # see _envelope_kernel: gated winner-monotonicity carry
-            lo = jnp.maximum(lo, carry[0] * men_ref[0])
-        hi = hi_ref[tid * n_xc + xc]
-
-        if fusepay and n_payloads:  # see _envelope_kernel
-            def fused_body(i, accs):
-                acc = accs[0]
+            def body(i, acc, xs=xs):
                 fi = f_vmem[i, :].reshape(1, LANES)
                 dx = xs - i
                 cand = jnp.minimum(dx * dx + jnp.minimum(fi, cap), cap)
                 packed = (cand << idx_bits) | i
-                better = packed < acc
-                return (jnp.minimum(acc, packed),) + tuple(
-                    jnp.where(better, pay_vmem[k][i, :].reshape(1, LANES),
-                              accs[1 + k])
-                    for k in range(n_payloads)
-                )
+                return jnp.minimum(acc, packed)
 
-            res = jax.lax.fori_loop(
-                lo, hi, fused_body,
-                (init,) + tuple(jnp.zeros((XC, LANES), jnp.int32)
-                                for _ in range(n_payloads)))
-            acc, sels = res[0], res[1:]
-        else:
-            acc = jax.lax.fori_loop(lo, hi, body, init)
-            sels = None
-        site = acc & ((1 << idx_bits) - 1)
-        best = acc >> idx_bits
-        if packed_out:
-            outs_main[0][...] = acc.reshape(1, XC, LANES)
-        else:
-            outs_main[0][...] = best.reshape(1, XC, LANES)
-            outs_main[1][...] = site.reshape(1, XC, LANES)
-        if mono:
-            last_sited = best[XC - 1, :] < cap
-            carry[0] = jnp.min(
-                jnp.where(last_sited, site[XC - 1, :], jnp.int32(n_sites)))
+            lo = lo_ref[(tid * n_xc + xc) * n_sub + s]
+            if mono or cf:  # see _envelope_kernel: gated monotonicity carry
+                lo = jnp.maximum(lo, carry[0] * men_ref[0])
+            hi = hi_ref[(tid * n_xc + xc) * n_sub + s]
 
-        if n_payloads:
-            if sels is None:
-                inits = tuple(jnp.zeros((XC, LANES), jnp.int32)
-                              for _ in range(n_payloads))
-
-                def pay_body(i, accs):
-                    hit = site == i
-                    return tuple(
-                        jnp.where(hit, pay_vmem[k][i, :].reshape(1, LANES),
-                                  accs[k])
+            if fusepay and n_payloads:  # see _envelope_kernel
+                def fused_body(i, accs, xs=xs):
+                    acc = accs[0]
+                    fi = f_vmem[i, :].reshape(1, LANES)
+                    dx = xs - i
+                    cand = jnp.minimum(dx * dx + jnp.minimum(fi, cap), cap)
+                    packed = (cand << idx_bits) | i
+                    better = packed < acc
+                    return (jnp.minimum(acc, packed),) + tuple(
+                        jnp.where(better, pay_vmem[k][i, :].reshape(1, LANES),
+                                  accs[1 + k])
                         for k in range(n_payloads)
                     )
 
-                sels = jax.lax.fori_loop(lo, hi, pay_body, inits)
-            for k in range(n_payloads):
-                out_pays[k][...] = sels[k].reshape(1, XC, LANES)
+                res = jax.lax.fori_loop(
+                    lo, hi, fused_body,
+                    (init,) + tuple(jnp.zeros((width, LANES), jnp.int32)
+                                    for _ in range(n_payloads)))
+                acc, sels = res[0], res[1:]
+            else:
+                acc = jax.lax.fori_loop(lo, hi, body, init)
+                sels = None
+            site = acc & ((1 << idx_bits) - 1)
+            best = acc >> idx_bits
+            if packed_out:
+                outs_main[0][0, rows, :] = acc
+            else:
+                outs_main[0][0, rows, :] = best
+                outs_main[1][0, rows, :] = site
+            if mono or cf:
+                last_sited = best[width - 1, :] < cap
+                carry[0] = jnp.min(
+                    jnp.where(last_sited, site[width - 1, :],
+                              jnp.int32(n_sites)))
+
+            if n_payloads:
+                if sels is None:
+                    inits = tuple(jnp.zeros((width, LANES), jnp.int32)
+                                  for _ in range(n_payloads))
+
+                    def pay_body(i, accs, site=site):
+                        hit = site == i
+                        return tuple(
+                            jnp.where(hit,
+                                      pay_vmem[k][i, :].reshape(1, LANES),
+                                      accs[k])
+                            for k in range(n_payloads)
+                        )
+
+                    sels = jax.lax.fori_loop(lo, hi, pay_body, inits)
+                for k in range(n_payloads):
+                    out_pays[k][0, rows, :] = sels[k]
 
 
-def _chunk_bands_batched(fp, N, n_tiles, n_xc, lo, hi, big):
+def _chunk_bands_batched(fp, N, n_tiles, n_chunks, lo, hi, big, width=XC):
     """Vectorised _chunk_bands over a leading batch dim: fp [B, N, Lp],
-    lo/hi [B, tiles] -> (lo2, hi2) flat [B*tiles*n_xc] indexed
-    (b*n_tiles + lx)*n_xc + xc."""
+    lo/hi [B, tiles] -> (lo2, hi2) flat [B*tiles*n_chunks] indexed
+    (b*n_tiles + lx)*n_chunks + c."""
     B = fp.shape[0]
     nb = -(-N // 8)
     fpad = jnp.pad(fp, ((0, 0), (0, nb * 8 - N), (0, 0)), constant_values=big)
     fmin8 = jnp.min(fpad.reshape(B, nb, 8, -1), axis=2)        # [B, nb, Lp]
     sited = jnp.any(fmin8 < big, axis=1)                       # [B, Lp]
 
-    c_idx = jnp.arange(n_xc, dtype=jnp.int32)
+    c_idx = jnp.arange(n_chunks, dtype=jnp.int32)
     cb_idx = jnp.arange(nb, dtype=jnp.int32)
-    a = c_idx * XC
-    b_end = a + (XC - 1)
+    a = c_idx * width
+    b_end = a + (width - 1)
     blo = cb_idx * 8
     bhi = jnp.minimum(blo + 7, N - 1)
     maxdx = jnp.maximum(jnp.abs(a[:, None] - bhi[None, :]),
-                        jnp.abs(b_end[:, None] - blo[None, :]))  # [n_xc, nb]
+                        jnp.abs(b_end[:, None] - blo[None, :]))  # [n_chunks, nb]
     terms = (maxdx.astype(jnp.int32)[None, :, :, None] ** 2
-             + jnp.minimum(fmin8, big)[:, None])               # [B,n_xc,nb,Lp]
-    U = jnp.min(terms, axis=2)                                 # [B, n_xc, Lp]
+             + jnp.minimum(fmin8, big)[:, None])           # [B,n_chunks,nb,Lp]
+    U = jnp.min(terms, axis=2)                                 # [B, n_chunks, Lp]
     U = jnp.where(sited[:, None, :], U, jnp.int32(-1))
-    U_t = jnp.max(U.reshape(B, n_xc, -1, LANES), axis=3)       # [B,n_xc,tiles]
+    U_t = jnp.max(U.reshape(B, n_chunks, -1, LANES), axis=3)   # [B,n_chunks,tiles]
     r = (jnp.floor(jnp.sqrt(jnp.maximum(U_t, 0).astype(jnp.float32)))
          .astype(jnp.int32) + 1)
     lo2 = jnp.maximum(lo[:, None, :], (a[None, :, None] - r))
     hi2 = jnp.minimum(hi[:, None, :], (b_end[None, :, None] + 1 + r))
     hi2 = jnp.maximum(hi2, lo2)
-    # kernel indexes [(b * n_tiles + lx) * n_xc + xc]
+    # kernel indexes [(b * n_tiles + lx) * n_chunks + c]
     return (jnp.transpose(lo2, (0, 2, 1)).reshape(-1).astype(jnp.int32),
             jnp.transpose(hi2, (0, 2, 1)).reshape(-1).astype(jnp.int32))
 
 
+def _cf_bands_batched(fp, N, n_tiles, n_xc, lo, hi, big, idx_bits):
+    """Vectorised _cf_bands over a leading batch dim (see _cf_bands): fp
+    [B, N, Lp] -> flat [(b*n_tiles + lx)*n_xc*nsub + xc*nsub + s]."""
+    B = fp.shape[0]
+    nsub = XC // SUB
+    lo_u, hi_u = _chunk_bands_batched(fp, N, n_tiles, n_xc * nsub, lo, hi,
+                                      big, width=SUB)
+    # coarse winners per batch slice (vmapped broadcast-reduce)
+    w = jax.vmap(lambda f: _coarse_winners(f, N, n_xc + 1, idx_bits, big))(fp)
+    sited = jnp.any(fp < big, axis=1)                          # [B, Lp]
+    w_lo = jnp.where(sited[:, None, :], w, N)                  # [B, n_xc+1, Lp]
+    w_hi = jnp.where(sited[:, None, :], w, -1)
+    w_lo_t = jnp.min(w_lo.reshape(B, n_xc + 1, n_tiles, LANES), axis=3)
+    w_hi_t = jnp.max(w_hi.reshape(B, n_xc + 1, n_tiles, LANES), axis=3)
+    blo = jnp.transpose(w_lo_t[:, :-1], (0, 2, 1))             # [B, tiles, n_xc]
+    bhi = jnp.transpose(w_hi_t[:, 1:], (0, 2, 1)) + 1
+    lo2 = jnp.maximum(lo_u.reshape(B * n_tiles * n_xc, nsub),
+                      blo.reshape(-1, 1))
+    hi2 = jnp.minimum(hi_u.reshape(B * n_tiles * n_xc, nsub),
+                      bhi.reshape(-1, 1))
+    hi2 = jnp.maximum(hi2, lo2)
+    return lo2.reshape(-1).astype(jnp.int32), hi2.reshape(-1).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("n_payloads", "bands", "mono",
-                                              "packed_out", "fusepay"))
+                                              "packed_out", "fusepay", "cf"))
 def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True,
                      mono: bool = False, packed_out: bool = False,
-                     fusepay: bool = False):
+                     fusepay: bool = False, cf: bool = False):
     """f int32 [B, N, L]; envelope along axis 1; outputs [B, N, L]."""
     B, N, L = f.shape
     idx_bits = env_idx_bits(N)
@@ -472,7 +585,10 @@ def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True,
     lo = jnp.where(any_t, jnp.argmax(act_s, axis=1), 0).astype(jnp.int32)
     hi = jnp.where(any_t, N - jnp.argmax(act_s[:, ::-1], axis=1), 0
                    ).astype(jnp.int32)
-    if bands:
+    if cf:
+        lo, hi = _cf_bands_batched(fp, N, n_tiles, n_xc, lo, hi,
+                                   jnp.int32(cap), idx_bits)
+    elif bands:
         lo, hi = _chunk_bands_batched(fp, N, n_tiles, n_xc, lo, hi,
                                       jnp.int32(cap))
     else:
@@ -506,7 +622,7 @@ def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True,
     )
     outs = pl.pallas_call(
         functools.partial(_envelope_mid_kernel, N, idx_bits, n_payloads,
-                          n_tiles, n_xc, mono, packed_out, fusepay),
+                          n_tiles, n_xc, mono, packed_out, fusepay, cf),
         grid_spec=grid_spec,
         out_shape=tuple(
             jax.ShapeDtypeStruct((B, Np, Lp), jnp.int32) for _ in range(n_out)
@@ -517,7 +633,7 @@ def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True,
 
 def envelope_mid_pallas(fsq, payloads=(), bands: bool = True,
                         mono: bool = False, packed_out: bool = False,
-                        fusepay: bool = False):
+                        fusepay: bool = False, cf: bool = False):
     """(best, site, *payloads) envelope along axis 1 of [B, N, ...]: the
     batched middle-axis variant (outputs keep the input layout).  With
     packed_out, ((best << idx_bits | site), *payloads) instead."""
@@ -530,13 +646,14 @@ def envelope_mid_pallas(fsq, payloads=(), bands: bool = True,
         fsq.reshape(B, N, L),
         tuple(p.reshape(B, N, L) for p in payloads),
         n_payloads=len(payloads), bands=bands, mono=mono,
-        packed_out=packed_out, fusepay=fusepay,
+        packed_out=packed_out, fusepay=fusepay, cf=cf,
     )
     return tuple(r.reshape(shape) for r in res)
 
 
 def envelope_pallas(fsq, payloads=(), bands: bool = True, mono: bool = False,
-                    packed_out: bool = False, fusepay: bool = False):
+                    packed_out: bool = False, fusepay: bool = False,
+                    cf: bool = False):
     """Drop-in (best, site, *payloads) envelope over axis 0 of [N, ...].
     With packed_out, ((best << idx_bits | site), *payloads) instead — one
     fewer full-size output (see _envelope_kernel)."""
@@ -549,6 +666,6 @@ def envelope_pallas(fsq, payloads=(), bands: bool = True, mono: bool = False,
         fsq.reshape(N, L),
         tuple(p.reshape(N, L) for p in payloads),
         n_payloads=len(payloads), bands=bands, mono=mono,
-        packed_out=packed_out, fusepay=fusepay,
+        packed_out=packed_out, fusepay=fusepay, cf=cf,
     )
     return tuple(r.reshape(shape) for r in res)

@@ -49,6 +49,7 @@ class GroundTruthChecker:
         self.rms_sum = 0.0
         self.rms_cnt = 0
         self.last = None
+        self.last_global = None
 
     def check_frame(self, out, voxel_width: float, logger=None):
         """Compare one FrameOutput's window EDT against 1-NN ground truth."""
@@ -76,3 +77,24 @@ class GroundTruthChecker:
         if logger is not None:
             logger.log_rmse(rmse)
         return self.last
+
+    def check_global(self, mirror, voxel_width: float, logger=None):
+        """profile_glb_rms: 1-NN check of the streamed GLOBAL map — the host
+        mirror's EDT cloud against its own occupied cloud.
+
+        Counterpart of the reference's profiling tick over the published
+        global clouds (include/volumetric_mapper.h:320-356 driving
+        publish_glb_2_rviz, :246-317): where check_frame validates only the
+        local window, this validates what consumers actually receive through
+        the streaming pipeline — a corrupted/stale streamed block shows up
+        here and nowhere else.  When both profile flags are on, the global
+        RMSE is the one recorded in the CSV column (logged last)."""
+        occ_pts = mirror.occupied_cloud(voxel_width)
+        q_pts, edt_m = mirror.edt_cloud(voxel_width)
+        if len(occ_pts) == 0 or len(q_pts) == 0:
+            return None
+        rmse, mx, mean_abs = knn_errors(occ_pts, q_pts, edt_m)
+        self.last_global = (rmse, mx, mean_abs)
+        if logger is not None and rmse >= 0:
+            logger.log_rmse(rmse)
+        return self.last_global

@@ -90,12 +90,24 @@ class MapConfig:
     edt_env_variant: str = "fusepay"
     max_relax_iters: Optional[int] = None  # cap on fixed-point sweeps (None=auto)
     stream_max_blocks: Optional[int] = None  # compaction size for D2H streaming
+    stream_k_cols: Optional[int] = None  # per-tick streamed block-column cap
+
+    # capacity-edge policy: the reference fails loudly on every capacity
+    # edge (wave_helper.h:26-30,82-88; unify_helper.cuh:107-113,511-517;
+    # blockalloc.h:56-58).  Here saturation warns (CapacityWarning) by
+    # default; capacity_strict upgrades the warning to a RuntimeError.
+    capacity_warn: bool = True
+    capacity_strict: bool = False
+    # consecutive streaming ticks with an undrained leftover mask before the
+    # backlog is reported
+    stream_stall_ticks: int = 4
 
     def __post_init__(self):
         if self.merge_mode not in ("canvas_edt", "relax"):
             raise ValueError(f"merge_mode {self.merge_mode!r} not in "
                              "('canvas_edt', 'relax')")
-        variants = ("base", "mono", "fusepay", "mono+fusepay")
+        variants = ("base", "mono", "fusepay", "mono+fusepay", "cf",
+                    "cf_base")  # must match ops.edt_batch._ENV_VARIANTS
         if self.edt_env_variant not in variants:
             raise ValueError(f"edt_env_variant {self.edt_env_variant!r} "
                              f"not in {variants}")

@@ -281,3 +281,97 @@ def test_batch_edt_env_variants_identical(interp):
             np.testing.assert_array_equal(
                 np.asarray(ref[k]), np.asarray(got[k]),
                 err_msg=f"{name}:{k}")
+
+
+def test_envelope_cf_exact(interp):
+    """The coarse-to-fine variant (SUB-row sub-chunks, winner-bracket bands,
+    monotonicity carry) must be bit-exact vs the dense oracle on adversarial
+    site layouts: early/late clusters (wide winner jumps across chunk
+    boundaries), heterogeneous lanes inside one tile (near + far from sites),
+    siteless lanes, and sites in the 8-row padding tail."""
+    rng = np.random.default_rng(55)
+    N, L = 330, 260  # 6 x-chunks, padded site tail (330 -> 336)
+    big = 1 << 28
+    fsq = np.full((N, L), big, np.int32)
+    fsq[5:9, :100] = rng.integers(0, 40, (4, 100))          # early cluster
+    fsq[300:305, 50:200] = rng.integers(0, 40, (5, 150))    # late cluster
+    fsq[329, 130] = 3                                       # last-row site
+    sprinkle = rng.random((N, L)) < 0.004
+    fsq[sprinkle] = rng.integers(0, 3000, sprinkle.sum())
+    fsq[:, 240:] = big                                      # siteless lanes
+    valid = (fsq < big).astype(np.int32)
+    pay = _pack_valid(rng.integers(0, 200, (N, L)).astype(np.int32), valid)
+
+    f = jnp.asarray(fsq)
+    p = jnp.asarray(pay)
+    b0, s0, p0 = lower_envelope(f, payloads=(p,), chunk=8)
+    has_site = valid.any(axis=0)
+    for kw in ({"cf": True}, {"cf": True, "fusepay": True}):
+        bx, sx, px = env_mod.envelope_pallas(f, payloads=(p,), **kw)
+        np.testing.assert_array_equal(np.asarray(b0)[:, has_site],
+                                      np.asarray(bx)[:, has_site],
+                                      err_msg=str(kw))
+        np.testing.assert_array_equal(np.asarray(s0)[:, has_site],
+                                      np.asarray(sx)[:, has_site],
+                                      err_msg=str(kw))
+        np.testing.assert_array_equal(np.asarray(p0)[:, has_site],
+                                      np.asarray(px)[:, has_site],
+                                      err_msg=str(kw))
+        assert not (np.asarray(px)[:, ~has_site] & 1).any()
+    # packed_out composition
+    ib = (N - 1).bit_length()
+    pk, p2 = env_mod.envelope_pallas(f, payloads=(p,), cf=True, fusepay=True,
+                                     packed_out=True)
+    np.testing.assert_array_equal(
+        np.asarray(pk)[:, has_site],
+        ((np.asarray(b0) << ib) | np.asarray(s0))[:, has_site])
+
+
+def test_envelope_cf_mid_exact(interp):
+    """cf on the batched middle-axis kernel: bit-exact vs the flat oracle."""
+    rng = np.random.default_rng(56)
+    B, N, L = 5, 130, 150  # 3 x-chunks per batch slice
+    big = 1 << 28
+    fsq = np.where(rng.random((B, N, L)) < 0.95, big,
+                   rng.integers(0, 700, (B, N, L))).astype(np.int32)
+    fsq[1] = big                                            # siteless slice
+    fsq[2] = big
+    fsq[2, 127, 90] = 11                                    # lone far site
+    valid = (fsq < big).astype(np.int32)
+    pay = _pack_valid(rng.integers(0, 200, (B, N, L)).astype(np.int32), valid)
+
+    f = jnp.asarray(fsq)
+    p = jnp.asarray(pay)
+    b1, s1, p1 = env_mod.envelope_mid_pallas(f, payloads=(p,), cf=True,
+                                             fusepay=True)
+    b0, s0, p0 = lower_envelope(jnp.moveaxis(f, 1, 0),
+                                payloads=(jnp.moveaxis(p, 1, 0),), chunk=8)
+    b0 = np.moveaxis(np.asarray(b0), 0, 1)
+    s0 = np.moveaxis(np.asarray(s0), 0, 1)
+    p0 = np.moveaxis(np.asarray(p0), 0, 1)
+    has_site = valid.any(axis=1)  # [B, L]
+    m = np.repeat(has_site[:, None, :], N, axis=1)
+    np.testing.assert_array_equal(b0[m], np.asarray(b1)[m])
+    np.testing.assert_array_equal(s0[m], np.asarray(s1)[m])
+    np.testing.assert_array_equal(p0[m], np.asarray(p1)[m])
+    assert not (np.asarray(p1)[np.repeat(~has_site[:, None, :], N, 1)] & 1).any()
+
+
+def test_batch_edt_cf_variant(interp):
+    """batch_edt(env_variant='cf') == the dense path, through the full
+    3-phase transform (interpret-mode pallas)."""
+    from gie_mapping_tpu.ops.edt_batch import batch_edt
+
+    rng = np.random.default_rng(57)
+    shape = (40, 36, 20)
+    occ = (rng.random(shape) < 0.03)
+    glb = jnp.asarray(np.where(occ, 2, 0).astype(np.int8))
+    mw = sum(shape)
+    ref = batch_edt(glb, max_width=mw, pallas=False)
+    for mid in (False, True):
+        got = batch_edt(glb, max_width=mw, pallas=True, mid=mid,
+                        env_variant="cf")
+        for k in ("dist_sq", "coc", "valid"):
+            np.testing.assert_array_equal(
+                np.asarray(ref[k]), np.asarray(got[k]),
+                err_msg=f"{k} mid={mid}")

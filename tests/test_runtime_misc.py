@@ -39,7 +39,8 @@ def test_csv_logger_schema():
     log.log_frame(1.5, 2.5, log.take_pending_rmse())
     log.log_frame(1.0, 2.0, log.take_pending_rmse())
     lines = log.getvalue().strip().splitlines()
-    assert lines[0] == "Occupancy time,EDT time,RMSE"
+    assert lines[0] == ("Occupancy time,EDT time,RMSE,arch dropped,"
+                        "stream leftover")
     assert lines[1].split(",")[2] == "0.125000"
     assert lines[2].split(",")[2] == "-1.000000"  # consumed, resets
 

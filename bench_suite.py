@@ -1,0 +1,222 @@
+"""Five-config benchmark suite: one JSON line per BASELINE.md configuration.
+
+The reference's de-facto benchmark is replaying its five dataset bags through
+the five launch configs (README.md:102-145; cfg/*.yaml + launch/*.launch —
+BASELINE.md table).  This suite reproduces each configuration's engine
+parameters and sensor pipeline on synthetic worlds at real frame sizes and
+measures, per config:
+
+  * ms/frame      — on-device engine time (sensor + fusion + EDT + merge),
+                    scanned-replay dispatch, best of N passes, link RTT
+                    subtracted (same methodology as bench.py)
+  * Mvox/s        — window voxels updated per second
+  * edt_ms        — batch EDT alone over the case's canvas, chained on the
+                    run's FINAL occupancy (the stage split's dominant term)
+
+Run on the real TPU:  python bench_suite.py [--cases cow_lady,depthcam]
+Prints one JSON line per case + a trailing summary line.  The shared tunnel
+throttles 3-20x unpredictably: compare cases within one run, re-run for
+absolute numbers.
+"""
+from __future__ import annotations
+
+
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+N_WARMUP = 2
+N_FRAMES = 20
+N_PASSES = 3
+CHUNK = 10
+K_EDT = 8
+
+# Per-case targets: BASELINE.md names only the cow-lady 10 ms budget; the
+# others reuse it as the common "real-time at 2 Hz with huge margin" bar.
+TARGET_MS = 10.0
+
+
+def _link_latency():
+    import jax
+    import jax.numpy as jnp
+
+    probe = jax.jit(lambda i: i + 1)
+    lat = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        _ = int(probe(jnp.int32(i)))
+        lat.append(time.perf_counter() - t0)
+    return float(np.median(lat))
+
+
+def _make_frames(case, cfg, world, poses):
+    """(batch_fn, per-frame fallback data) for the case's sensor pipeline."""
+    from gie_mapping_tpu.runtime.datasets import BoxWorld  # noqa: F401
+
+    K = len(poses)
+    if case in ("cow_lady", "ugv_corridor", "uav_raycast_fine"):
+        n_rays = cfg.max_raycast_points
+        clouds = [world.pointcloud(p, n_rays=n_rays, max_range=8.0, seed=i)
+                  for i, p in enumerate(poses)]
+        return "pointcloud", clouds, {}
+    if case == "scan2D":
+        scans = [world.scan_2d(p, n_beams=720) for p in poses]
+        return "scan", np.stack([s[0] for s in scans]), {
+            "theta_min": scans[0][1], "theta_inc": scans[0][2]}
+    if case == "depthcam":
+        imgs = [world.depth_image(p, rows=96, cols=128, fx=80.0, fy=80.0,
+                                  max_range=6.0) for p in poses]
+        d0 = imgs[0]
+        return "depth", np.stack([im[0] for im in imgs]), {
+            "fx": d0[1], "fy": d0[2], "cx": d0[3], "cy": d0[4]}
+    if case == "laser3D":
+        scans = [world.multiscan(p) for p in poses]
+        s0 = scans[0]
+        return "multiscan", np.stack([s[0] for s in scans]), {
+            "theta_min": s0[1], "theta_inc": s0[2], "phi_min": s0[3],
+            "phi_inc": s0[4]}
+    raise KeyError(case)
+
+
+def bench_case(case: str, link_ms: float):
+    import jax.numpy as jnp
+
+    from gie_mapping_tpu.models.mapper import VolumetricMapper
+    from gie_mapping_tpu.ops.edt_batch import batch_edt
+    from gie_mapping_tpu.runtime.datasets import BoxWorld, circular_trajectory
+    from gie_mapping_tpu.utils.config import load_config
+
+    overrides = dict(display_glb_edt=False, display_glb_ogm=False,
+                     display_loc_edt=False, display_loc_ogm=False)
+    if case in ("cow_lady", "ugv_corridor", "uav_raycast_fine"):
+        overrides.update(max_raycast_points=16384, fuse_raycast=True)
+    cfg = load_config(case, **overrides)
+
+    extent = min(cfg.local_size_m[0] * 0.45, 4.5)
+    world = BoxWorld.corridor(seed=11, n_pillars=8, extent=extent,
+                              height=max(cfg.local_size_m[2], 2.5))
+    poses = circular_trajectory(n_frames=N_WARMUP + N_FRAMES,
+                                radius=extent * 0.35,
+                                height=cfg.local_size_m[2] * 0.4)
+    kind, data, kw = _make_frames(case, cfg, world, poses)
+
+    mapper = VolumetricMapper(cfg)
+    if kind == "pointcloud":
+        pts, val = mapper.stage_pointcloud_batch(data)
+        run = lambda lo, hi: mapper.process_pointcloud_batch(
+            poses[lo:hi], pts[lo:hi], val[lo:hi], chunk=CHUNK)
+        warm = lambda i: mapper.process_pointcloud(poses[i], pts[i], val[i])
+    else:
+        dev = jnp.asarray(data)
+        batch_call = {"scan": mapper.process_scan2d_batch,
+                      "depth": mapper.process_depth_batch,
+                      "multiscan": mapper.process_multiscan_batch}[kind]
+        per_call = {"scan": mapper.process_scan2d,
+                    "depth": mapper.process_depth,
+                    "multiscan": mapper.process_multiscan}[kind]
+        run = lambda lo, hi: batch_call(poses[lo:hi], dev[lo:hi], chunk=CHUNK,
+                                        **kw)
+        warm = lambda i: per_call(poses[i], dev[i], *kw.values())
+
+    for i in range(N_WARMUP):
+        warm(i)
+    out = run(N_WARMUP, N_WARMUP + N_FRAMES)
+    _ = out.relax_iters  # sync (compile + first allocations done)
+
+    per_pass = []
+    for _p in range(N_PASSES):
+        t0 = time.perf_counter()
+        out = run(N_WARMUP, N_WARMUP + N_FRAMES)
+        _ = int(np.asarray(out.device("relax_iters")))
+        per_pass.append((time.perf_counter() - t0) * 1e3 / N_FRAMES
+                        - link_ms / N_FRAMES)
+    ms = max(min(per_pass), 1e-6)
+
+    # stage split: batch EDT alone over this case's canvas, on the final
+    # occupancy (chained dispatches, one readback)
+    import jax
+
+    glb = mapper.state.vox_type
+    mw = sum(cfg.canvas_size)
+    variant = cfg.edt_env_variant
+
+    @jax.jit
+    def edt_chain(g):
+        def body(g, _):
+            r = batch_edt(g, max_width=mw, env_variant=variant)["dist_sq"]
+            g2 = (g + (r.reshape(-1)[0] % 1).astype(g.dtype)).astype(g.dtype)
+            return g2, ()
+        g, _ = jax.lax.scan(body, g, None, length=K_EDT)
+        return g
+
+    np.asarray(edt_chain(glb))
+    edt_best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        np.asarray(edt_chain(glb))
+        edt_best = min(edt_best, (time.perf_counter() - t0 - link_ms)
+                       / K_EDT * 1e3)
+
+    return {
+        "metric": f"{case}_ogm_edt_ms_per_frame",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(TARGET_MS / ms, 3),
+        "extra": {
+            "case": case,
+            "frames": N_FRAMES,
+            "dispatch_mode": f"scan_chunk_{CHUNK}",
+            "mvoxels_per_s": round(cfg.map_volume * 1e3 / ms / 1e6, 2),
+            "edt_ms": round(edt_best, 3),
+            "canvas": list(cfg.canvas_size),
+            "window": list(cfg.local_size),
+            "sensor": kind,
+            "env_variant": variant,
+        },
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cases", default="scan2D,ugv_corridor,cow_lady,"
+                    "depthcam,laser3D,uav_raycast_fine")
+    ap.add_argument("--out", default=None,
+                    help="also append results to this JSON-lines file")
+    args = ap.parse_args()
+
+    from bench import _wait_for_backend
+
+    _wait_for_backend()
+    link_ms = _link_latency() * 1e3
+    results = []
+    for case in args.cases.split(","):
+        r = bench_case(case.strip(), link_ms)
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    summary = {"metric": "suite_geomean_vs_baseline",
+               "value": round(float(np.exp(np.mean(
+                   [np.log(max(r["vs_baseline"], 1e-9)) for r in results]))), 3),
+               "unit": "x", "link_latency_ms": round(link_ms, 2)}
+    print(json.dumps(summary), flush=True)
+    if args.out:
+        with open(args.out, "a") as f:
+            for r in results + [summary]:
+                f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

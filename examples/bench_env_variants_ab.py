@@ -49,6 +49,28 @@ def make_occ(shape, zlo, zhi, frac, seed):
     return occ
 
 
+def make_frustum(shape, seed):
+    """Depth-camera-like occupancy: a wall surface seen through a camera
+    frustum from one canvas corner region — sites localized in a cone, the
+    rest of the canvas siteless.  This is the regime the coarse-to-fine
+    winner brackets target (random-sprinkle cases have sites everywhere, so
+    radius bands are already tight there)."""
+    rng = np.random.default_rng(seed)
+    X, Y, Z = shape
+    occ = np.zeros(shape, np.int8)
+    cam = np.array([20, Y // 2, Z // 2])
+    yy, zz = np.meshgrid(np.arange(Y), np.arange(Z), indexing="ij")
+    # per-(y,z) ray: wall depth where the frustum ray hits, with noise
+    depth = (90 + 25 * np.sin(yy / 9.0) * np.cos(zz / 7.0)
+             + rng.integers(-3, 4, (Y, Z))).astype(np.int64)
+    xw = np.clip(cam[0] + depth, 0, X - 1)
+    in_fov = ((np.abs(yy - cam[1]) < 0.45 * depth)
+              & (np.abs(zz - cam[2]) < 0.30 * depth))
+    ys, zs = np.nonzero(in_fov)
+    occ[xw[ys, zs], ys, zs] = 1
+    return occ
+
+
 def chained(fn, arg):
     @jax.jit
     def chain(a):
@@ -74,10 +96,14 @@ def main():
     cases = [
         ("cow_lady-ish 152x152x80 z20-45 3%", (152, 152, 80), 20, 45, 0.03),
         ("depthcam-ish 232x232x160 z40-80 1%", (232, 232, 160), 40, 80, 0.01),
+        ("depthcam-frustum 232x232x160", (232, 232, 160), None, None, None),
         ("ugv-ish 240x240x40 z0-24 2%", (240, 240, 40), 0, 24, 0.02),
     ]
     for name, shape, zlo, zhi, frac in cases:
-        occ = make_occ(shape, zlo, zhi, frac, seed=0)
+        if frac is None:
+            occ = make_frustum(shape, seed=0)
+        else:
+            occ = make_occ(shape, zlo, zhi, frac, seed=0)
         glb = jnp.asarray(np.where(occ, 2, 0).astype(np.int8))
         mw = sum(shape)
 

@@ -10,11 +10,13 @@ lockset.h) and of the GlbHashMap manager
   becomes a flat block **archive** for regions that scroll out, looked up via
   a dense directory built with one scatter per scroll.  There are no locks,
   chains, or retry loops; "allocation" is flipping dense `present` flags.
-* Closest-obstacle coordinates are plain int16 *global* voxel coordinates —
-  the reference's 11/11/10-bit "wave range" packing
-  (local_batch.h:12-17,173-208) existed only so (dist, coc) fit a 64-bit
-  atomic CAS; dense deterministic reductions have no atomics, so the packing
-  (and its per-frame re-anchoring) disappears.
+* Closest-obstacle coordinates are int16 *canvas-relative* voxel coordinates,
+  re-anchored on scroll (archive rows anchor to their own block's origin) —
+  the same trick as the reference's per-frame wave-range re-anchoring
+  (local_batch.h:159-208), which exists there so (dist, coc) fits a 64-bit
+  atomic CAS.  Relative cocs are always in range (|coc - voxel| < 1000
+  because dist_sq < EMPTY_VALUE, and the voxel is in the canvas), so the
+  world extent is unbounded (int32 pivot: ±2^31 voxels).
 """
 from __future__ import annotations
 
@@ -57,10 +59,12 @@ def _dense_to_blocks(arr, canvas_blocks):
 # slab archive/load transfers.  This is also the natural multi-chip layout:
 # the canvas stays sharded across the mesh between frames.
 #
-# Closest-obstacle coords are stored as int16 GLOBAL voxel coordinates
-# (world limited to +-32767 voxels ~= +-3.2 km at 0.1 m — same order as the
-# reference's 11/11/10-bit wave-range packing limit, local_batch.h:51-58),
-# halving the relaxation sweep's memory traffic.
+# Closest-obstacle coords are stored as int16 CANVAS-RELATIVE voxel
+# coordinates (half the memory traffic of int32 triples in every sweep).
+# A stored coc is always within ~1000 voxels of its canvas voxel (dist_sq
+# is bounded by EMPTY_VALUE), so relative coords never overflow int16 no
+# matter how far the robot travels; scrolls re-anchor by the shift, archive
+# rows re-anchor to their block origin (shift_packed_coc).
 # ===========================================================================
 
 COC_INVALID16 = np.int16(32767)
@@ -103,6 +107,39 @@ def unpack_voxels(packed):
     return occ, typ, dist, jnp.stack([cx, cy, cz], axis=-1)
 
 
+def shift_packed_coc(rows, delta):
+    """Re-anchor the packed coc fields of uint32 [..., 3] rows by adding
+    int32 delta [..., 3] (broadcastable); the COC_INVALID16 sentinel passes
+    through.  Used at the canvas<->archive boundary: archive rows anchor
+    cocs to their own block origin, canvas voxels to the canvas origin, so
+    neither frame ever overflows int16 regardless of world extent (the
+    TPU-dense analogue of the reference's wave-range re-anchoring,
+    local_batch.h:159-208)."""
+    s16 = lambda v: (v.astype(jnp.int32) ^ 0x8000) - 0x8000
+    cx = s16(rows[..., 1] & 0xFFFF)
+    cy = s16((rows[..., 1] >> 16) & 0xFFFF)
+    cz = s16(rows[..., 2] & 0xFFFF)
+    valid = cx != COC_INVALID16
+    inv = jnp.int32(COC_INVALID16)
+    nx = jnp.where(valid, cx + delta[..., 0], inv)
+    ny = jnp.where(valid, cy + delta[..., 1], inv)
+    nz = jnp.where(valid, cz + delta[..., 2], inv)
+    u16 = lambda v: v.astype(jnp.uint32) & 0xFFFF
+    w1 = u16(nx) | (u16(ny) << 16)
+    w2 = u16(nz)
+    return jnp.stack([rows[..., 0], w1, w2], axis=-1)
+
+
+def _block_pos_vox(linear_ids, canvas_blocks):
+    """Canvas voxel position [..., 3] of linear block ids (bx*cby*cbz +
+    by*cbz + bz order)."""
+    cby, cbz = canvas_blocks[1], canvas_blocks[2]
+    bx = linear_ids // (cby * cbz)
+    by = (linear_ids // cbz) % cby
+    bz = linear_ids % cbz
+    return jnp.stack([bx, by, bz], axis=-1).astype(jnp.int32) * VB_WIDTH
+
+
 _PACKED_DEFAULT = np.asarray(
     [np.uint32(EMPTY_VALUE),  # dist=EMPTY, occ=0, type=UNKNOWN
      np.uint32((np.uint16(COC_INVALID16)) | (np.uint32(np.uint16(COC_INVALID16)) << 16)),
@@ -121,7 +158,7 @@ class MapState:
     occ_val: jnp.ndarray     # uint8
     vox_type: jnp.ndarray    # int8
     dist_sq: jnp.ndarray     # int32
-    coc: jnp.ndarray         # int16, global voxel coords
+    coc: jnp.ndarray         # int16, CANVAS-RELATIVE voxel coords
     present: jnp.ndarray     # bool [bx,by,bz] block-allocated flags
     # archive of scrolled-out blocks
     arch_keys: jnp.ndarray   # int32 [B,3]
@@ -274,8 +311,13 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
     compact_cols = min(compact_cols, ncols)
     jz = jnp.arange(cb[2], dtype=jnp.int32)
 
+    # archive rows anchor cocs to their OWN block origin (canvas-rel minus
+    # the block's canvas position); see shift_packed_coc
     if compact_rows is None:
+        nb_all = cb[0] * cb[1] * cb[2]
         rows = _canvas_as_blocks(packed, cb).reshape(-1, VB_SIZE_, 3)
+        rows = shift_packed_coc(
+            rows, -_block_pos_vox(jnp.arange(nb_all, dtype=jnp.int32), cb)[:, None, :])
         a_packed = state.a_packed.at[slot].set(rows, mode="drop")
     elif use_pallas:
         # DMA the moving (x,y) block-columns straight out of the dense
@@ -286,6 +328,8 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
             jnp.any(exits, axis=2).reshape(-1), compact_cols)
         crows = gather_block_rows(packed, cids, cb)
         bidx = cids[:, None] * cb[2] + jz[None, :]
+        crows = shift_packed_coc(
+            crows, -_block_pos_vox(bidx.reshape(-1), cb)[:, None, :])
         cslot = jnp.where(cidv[:, None], slot[bidx], B).reshape(-1)
         if archive_pallas is False:  # A/B toggle (examples/bench_scroll_ab)
             a_packed = state.a_packed.at[cslot].set(
@@ -303,6 +347,7 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
         ids, idv = _compact_ids(exits.reshape(-1), compact_rows)
         cslot = jnp.where(idv, slot[ids], B)
         crows = _canvas_as_blocks(packed, cb).reshape(-1, VB_SIZE_, 3)[ids]
+        crows = shift_packed_coc(crows, -_block_pos_vox(ids, cb)[:, None, :])
         a_packed = state.a_packed.at[cslot].set(crows, mode="drop")
     n_arch = state.n_arch + granted
 
@@ -331,8 +376,12 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
     gslot = jnp.where(entering, new_dir, 0).reshape(-1)
 
     nb = gslot.shape[0]
+    # entering rows re-anchor block-relative -> new-canvas-relative
     if compact_rows is None:
-        rows_in = a_packed[gslot].reshape(cb + (VB_WIDTH, VB_WIDTH, VB_WIDTH, 3))
+        rows_in = shift_packed_coc(
+            a_packed[gslot],
+            _block_pos_vox(jnp.arange(nb, dtype=jnp.int32), cb)[:, None, :]
+        ).reshape(cb + (VB_WIDTH, VB_WIDTH, VB_WIDTH, 3))
         pblocks = _canvas_as_blocks(packed, cb)
         pblocks = jnp.where(entering[..., None, None, None, None], rows_in, pblocks)
         packed = _blocks_to_dense(pblocks, cb)
@@ -354,11 +403,14 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
             grows = a_packed[slot_b.reshape(-1)]
         else:
             grows = gather_archive_rows(a_packed, slot_b.reshape(-1))
+        tgt = (colv[:, None] * cb[2] + jz[None, :]).reshape(-1)
+        grows = shift_packed_coc(grows, _block_pos_vox(tgt, cb)[:, None, :])
         packed = scatter_block_rows(
             packed, grows, colv, valid_b.astype(jnp.int32).reshape(-1), cb)
     else:
         ids2, idv2 = _compact_ids(entering.reshape(-1), compact_rows)
         grows = a_packed[jnp.where(idv2, gslot[ids2], 0)]
+        grows = shift_packed_coc(grows, _block_pos_vox(ids2, cb)[:, None, :])
         pbrows = _canvas_as_blocks(packed, cb).reshape(-1, VB_SIZE_, 3)
         pbrows = pbrows.at[jnp.where(idv2, ids2, nb)].set(grows, mode="drop")
         packed = _blocks_to_dense(
@@ -366,6 +418,16 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
     present = present | entering
 
     occ_val, vox_type, dist_sq, coc = unpack_voxels(packed)
+    # re-anchor to the new canvas origin: entering blocks were written
+    # new-anchored above; surviving voxels shift by -sv
+    enter_vox = jnp.repeat(
+        jnp.repeat(jnp.repeat(entering, VB_WIDTH, 0), VB_WIDTH, 1),
+        VB_WIDTH, 2)
+    cvalid = coc[..., 0] != COC_INVALID16
+    adj = jnp.where(enter_vox[..., None], 0, sv.astype(jnp.int32))
+    coc = jnp.where(cvalid[..., None],
+                    (coc.astype(jnp.int32) - adj).astype(jnp.int16),
+                    jnp.int16(COC_INVALID16))
 
     return dataclasses.replace(
         state,
@@ -379,8 +441,9 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "k_cols", "use_pallas"))
-def stream_extract(state: MapState, changed_blk, carry_blk, *, cfg: MapConfig,
-                   k_cols: int, use_pallas: bool | None = None):
+def stream_extract(state: MapState, changed_blk, carry_blk, rot=0, *,
+                   cfg: MapConfig, k_cols: int,
+                   use_pallas: bool | None = None):
     """Compact changed voxel blocks into archive-format rows for D2H
     streaming (streamPipeline equivalent, glb_hash_map.cu:209-247).
 
@@ -396,6 +459,11 @@ def stream_extract(state: MapState, changed_blk, carry_blk, *, cfg: MapConfig,
       changed_blk: bool [bx,by,bz] this frame's changed blocks (& present).
       carry_blk:   bool [bx,by,bz] blocks left over from previous ticks
                    (k_cols cap); OR-ed in, returned unserved.
+      rot: int32 round-robin offset — service order is (rank - rot) mod
+           ncols, so when more than k_cols columns change persistently every
+           tick, every column is still served once per ceil(ncols/k_cols)
+           ticks (bounded mirror staleness) instead of the rank-order tail
+           starving forever.  The caller advances it by k_cols per tick.
       k_cols: static max block-columns per tick.
 
     Returns (col_ids [k], col_valid [k], rows [k*cbz,512,3] u32,
@@ -406,10 +474,17 @@ def stream_extract(state: MapState, changed_blk, carry_blk, *, cfg: MapConfig,
     ncols = cbx * cby
     want = changed_blk | carry_blk
     col_changed = want.any(axis=2).reshape(-1)
-    ids, valid = _compact_ids(col_changed, k_cols)
-    # served = the first k_cols changed columns in rank order — exactly the
-    # _compact_ids selection, recomputed via cumsum (no scatter)
-    served = col_changed & (jnp.cumsum(col_changed.astype(jnp.int32)) <= k_cols)
+    # rotated service order, one small sort: key = rot_rank * ncols + rank
+    # (ncols^2 < 2^31 for every realistic canvas), so ids recover as key %
+    # ncols and the served set is key <= k-th smallest (no scatter)
+    rank = jnp.arange(ncols, dtype=jnp.int32)
+    rot_rank = jnp.remainder(rank - rot, ncols)
+    big = jnp.int32(ncols * ncols)
+    key = jnp.where(col_changed, rot_rank * ncols + rank, big)
+    skey = jax.lax.sort(key)[:k_cols]
+    valid = skey < big
+    ids = jnp.where(valid, skey % ncols, 0)
+    served = col_changed & (key <= skey[k_cols - 1])
     leftover = want & ~served.reshape(cbx, cby, 1)
 
     packed = pack_voxels(state.occ_val, state.vox_type, state.dist_sq, state.coc)
@@ -447,11 +522,11 @@ def canvas_geometry(cfg: MapConfig, pvt: np.ndarray):
     window_offset int32[3]) with window_offset = pvt - canvas_origin_vox.
     """
     pvt = np.asarray(pvt, np.int64)
-    if np.abs(pvt).max() > 30000:
-        raise ValueError(
-            "pivot beyond +-30000 voxels: int16 closest-obstacle coordinates "
-            "would overflow (world limit ~ +-3 km at 0.1 m voxels)"
-        )
+    # cocs are canvas-relative (re-anchored on scroll), so world extent is
+    # bounded only by the int32 voxel coordinates themselves
+    if np.abs(pvt).max() > (1 << 30):
+        raise ValueError("pivot beyond +-2^30 voxels: int32 grid coordinates "
+                         "would overflow")
     halo = cfg.halo_grids
     cb = np.asarray(cfg.canvas_blocks, np.int64)
     cs = cb * VB_WIDTH

@@ -539,7 +539,7 @@ class VolumetricMapper:
                               "coc", "present", "arch_keys", "n_arch",
                               "a_packed", "arch_dropped")}
         state_np["meta/map_ct"] = np.asarray(self.map_ct)
-        state_np["meta/version"] = np.asarray(2)  # v2: packed archive payload
+        state_np["meta/version"] = np.asarray(3)  # v3: relative coc anchors
         np.savez_compressed(path, **state_np)
 
     def load(self, path: str):
@@ -549,9 +549,9 @@ class VolumetricMapper:
 
         raw = np.load(path)
         version = int(raw["meta/version"]) if "meta/version" in raw.files else 1
-        if version != 2:
+        if version != 3:
             raise ValueError(
-                f"checkpoint format v{version} not supported (current: v2)"
+                f"checkpoint format v{version} not supported (current: v3 — canvas/block-relative coc anchors)"
             )
         kw = {k.split("/", 1)[1]: jnp.asarray(raw[k]) for k in raw.files
               if k.startswith("state/")}

@@ -206,15 +206,17 @@ def merge_frame_impl(
             full = batch_edt(canvas_type, max_width=sum(canvas_size),
                              env_variant=cfg.edt_env_variant)
         new_dist = jnp.where(full["valid"], full["dist_sq"], EMPTY_VALUE)
+        # cocs are stored canvas-relative (map_state docstring): batch_edt's
+        # canvas indices ARE the stored representation
         new_coc = jnp.where(
             full["valid"][..., None],
-            (full["coc"] + canvas_origin_vox).astype(jnp.int16),
+            full["coc"].astype(jnp.int16),
             COC_INVALID16,
         )
         # limited observation, canvas scale (MarkLimitedObserve semantics,
         # unify_helper.cuh:249-255): memory of obstacles BEYOND the canvas
         # survives when it is closer than anything observable now
-        old_coc_rel = state.coc.astype(jnp.int32) - canvas_origin_vox
+        old_coc_rel = state.coc.astype(jnp.int32)
         old_valid = state.coc[..., 0] != COC_INVALID16
         cs_arr = jnp.asarray(canvas_size, jnp.int32)
         old_in_canvas = jnp.all((old_coc_rel >= 0) & (old_coc_rel < cs_arr), -1)
@@ -227,7 +229,8 @@ def merge_frame_impl(
         batch = batch_edt(glb_type, max_width=cfg.max_width,
                           env_variant=cfg.edt_env_variant)
         seed_dist, seed_coc = reconcile_window(
-            batch, win(state.dist_sq), win(state.coc), glb_type, pvt, local_size
+            batch, win(state.dist_sq), win(state.coc), glb_type, win_off,
+            local_size
         )
         dist = _uncrop(state.dist_sq, seed_dist, win_off)
         coc = _uncrop(state.coc, seed_coc, win_off)
@@ -249,7 +252,7 @@ def merge_frame_impl(
         # lower in/out fixed point (waves B + C)
         can_update = window_mask if cfg.fast_mode else (window_mask | outside_observed)
         dist, coc, relax_iters = relax_fixed_point(
-            dist, coc, can_update, outside_observed, window_mask, canvas_origin_vox,
+            dist, coc, can_update, outside_observed, window_mask,
             canvas_size=canvas_size, cutoff_sq=cfg.cutoff_grids_sq,
             max_iters=cfg.relax_iters,
         )
@@ -321,11 +324,20 @@ def merge_frame_impl(
         present=present,
     )
 
+    # published cocs are GLOBAL int32 (the stored canvas-relative int16 plus
+    # the canvas origin) — world extent is unbounded, output invalids keep
+    # the COC_INVALID16 sentinel value
+    coc_glb_win = jnp.where(
+        (coc_win[..., 0] != COC_INVALID16)[..., None],
+        coc_win.astype(jnp.int32) + canvas_origin_vox,
+        jnp.int32(COC_INVALID16),
+    )
+
     outputs = {
         "edt": edt,                      # float32 [X,Y,Z]
         "glb_type": glb_type_out,        # int8 [X,Y,Z] incl. FNT marks
         "dist_sq": dist_win,             # int32 [X,Y,Z]
-        "coc": coc_win,                  # int16 [X,Y,Z,3] global coords
+        "coc": coc_glb_win,              # int32 [X,Y,Z,3] global coords
         "ogm_changed": ogm_changed,
         "changed_blk": changed_blk,      # bool [bx,by,bz]
         "relax_iters": relax_iters,
@@ -469,7 +481,7 @@ def _out_template(cfg: MapConfig):
         "edt": jnp.zeros(ls, jnp.float32),
         "glb_type": jnp.zeros(ls, jnp.int8),
         "dist_sq": jnp.zeros(ls, jnp.int32),
-        "coc": jnp.zeros(ls + (3,), jnp.int16),
+        "coc": jnp.zeros(ls + (3,), jnp.int32),
         "ogm_changed": jnp.zeros(ls, jnp.bool_),
         "changed_blk": jnp.zeros(cb, jnp.bool_),
         "relax_iters": jnp.int32(0),

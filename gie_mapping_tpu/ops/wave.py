@@ -58,28 +58,31 @@ def _shift_fill(arr, axis, sign, fill):
     return jnp.pad(arr, pad, constant_values=fill)[tuple(sl)]
 
 
-def reconcile_window(batch, canvas_dist_win, canvas_coc_win, glb_type, pvt, local_size):
+def reconcile_window(batch, canvas_dist_win, canvas_coc_win, glb_type,
+                     win_off, local_size):
     """MarkLimitedObserve semantics (unify_helper.cuh:201-273).
 
     Fresh batch-EDT values replace stored global values except when the new
     value only got *worse* because the true closest obstacle lies outside the
     local window ("limited observation") — then the stored value survives.
 
-    Returns (seed_dist int32 [X,Y,Z], seed_coc int16 [X,Y,Z,3] global) for
-    the window, with EMPTY/INVALID where the voxel is unobserved or sees
-    nothing.
+    Returns (seed_dist int32 [X,Y,Z], seed_coc int16 [X,Y,Z,3]
+    canvas-relative) for the window, with EMPTY/INVALID where the voxel is
+    unobserved or sees nothing.  win_off is the window offset inside the
+    canvas (the coc anchor conversion window-local <-> canvas-relative).
     """
     observed = glb_type != VOX_UNKNOWN
     valid_new = batch["valid"]
     dist_new = jnp.where(valid_new, batch["dist_sq"], EMPTY_VALUE)
     coc_new = jnp.where(
-        valid_new[..., None], (batch["coc"] + pvt).astype(jnp.int16), COC_INVALID16
+        valid_new[..., None], (batch["coc"] + win_off).astype(jnp.int16),
+        COC_INVALID16
     )
 
     dist_old = canvas_dist_win
     coc_old = canvas_coc_win
     old_valid = coc_old[..., 0] != COC_INVALID16
-    coc_old_loc = coc_old.astype(jnp.int32) - pvt
+    coc_old_loc = coc_old.astype(jnp.int32) - win_off
     old_in_loc = geo.inside_volume(coc_old_loc, jnp.asarray(local_size, jnp.int32)) & old_valid
 
     limited = (dist_new > dist_old) & ~old_in_loc & old_valid
@@ -168,7 +171,7 @@ def invalidate_disappeared(dist, coc, outside_mask, stale_coc, dead_win,
 @partial(jax.jit, static_argnames=("canvas_size", "max_iters", "cutoff_sq",
                                    "sweeps_per_check"))
 def relax_fixed_point(dist, coc, can_update, outside_observed, window_mask,
-                      canvas_origin_vox, *, canvas_size, cutoff_sq: int,
+                      *, canvas_size, cutoff_sq: int,
                       max_iters: int, sweeps_per_check: int = 4):
     """Masked 6-neighbour (dist, coc) min-relaxation to fixed point.
 
@@ -183,11 +186,13 @@ def relax_fixed_point(dist, coc, can_update, outside_observed, window_mask,
     `sweeps_per_check` sweeps run between convergence reductions to amortise
     the while_loop condition.
 
-    Returns (dist, coc, n_sweeps_upper_bound).
+    Returns (dist, coc, n_sweeps_upper_bound).  Cocs are canvas-relative, so
+    voxel positions are plain canvas iotas (squared distances are
+    shift-invariant).
     """
-    gx = jax.lax.broadcasted_iota(jnp.int32, canvas_size, 0) + canvas_origin_vox[0]
-    gy = jax.lax.broadcasted_iota(jnp.int32, canvas_size, 1) + canvas_origin_vox[1]
-    gz = jax.lax.broadcasted_iota(jnp.int32, canvas_size, 2) + canvas_origin_vox[2]
+    gx = jax.lax.broadcasted_iota(jnp.int32, canvas_size, 0)
+    gy = jax.lax.broadcasted_iota(jnp.int32, canvas_size, 1)
+    gz = jax.lax.broadcasted_iota(jnp.int32, canvas_size, 2)
 
     def sweep(dist, coc):
         src_ok = (coc[..., 0] != COC_INVALID16) & (

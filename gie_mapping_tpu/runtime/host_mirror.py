@@ -14,11 +14,23 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-from ..map_state import MapState, _dense_to_blocks
+from ..map_state import COC_INVALID16, MapState, _dense_to_blocks
 from ..utils.config import MapConfig
 
 
+def _coc_to_global(coc_rel, anchor_vox):
+    """int16 relative cocs + int32 anchor -> int32 GLOBAL cocs (the mirror's
+    public frame); the COC_INVALID16 sentinel passes through."""
+    coc_rel = np.asarray(coc_rel)
+    valid = coc_rel[..., :1] != COC_INVALID16
+    return np.where(valid, coc_rel.astype(np.int32) + anchor_vox,
+                    np.int32(COC_INVALID16))
+
+
 class HostMirror:
+    """Mirror blocks store GLOBAL int32 cocs (converted at ingest from the
+    device's canvas-relative / block-relative int16 anchors)."""
+
     def __init__(self, cfg: MapConfig):
         self.cfg = cfg
         self.blocks: Dict[Tuple[int, int, int], dict] = {}
@@ -39,6 +51,8 @@ class HostMirror:
                           ("dist_sq", state.dist_sq), ("coc", state.coc)):
             bv = _dense_to_blocks(arr, cb)
             fields[name] = np.asarray(bv[idx[:, 0], idx[:, 1], idx[:, 2]])
+        fields["coc"] = _coc_to_global(
+            fields["coc"], np.asarray(origin_blk)[None, :] * 8)
         keys = idx + np.asarray(origin_blk)[None, :]
         for i, key in enumerate(map(tuple, keys)):
             self.blocks[key] = {name: fields[name][i] for name in fields}
@@ -67,7 +81,9 @@ class HostMirror:
                     "occ_val": occ[r].reshape(W, W, W),
                     "vox_type": typ[r].reshape(W, W, W),
                     "dist_sq": dist[r].reshape(W, W, W),
-                    "coc": coc[r].reshape(W, W, W, 3),
+                    # streamed rows carry canvas-relative cocs
+                    "coc": _coc_to_global(coc[r].reshape(W, W, W, 3),
+                                          origin * 8),
                 }
                 n += 1
         return n
@@ -88,7 +104,9 @@ class HostMirror:
         for i, key in enumerate(map(tuple, keys)):
             self.blocks[key] = {
                 "occ_val": occ[i], "vox_type": typ[i],
-                "dist_sq": dist[i], "coc": coc[i],
+                "dist_sq": dist[i],
+                # archive rows anchor cocs to their own block origin
+                "coc": _coc_to_global(coc[i], keys[i] * 8),
             }
         return n
 

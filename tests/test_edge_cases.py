@@ -53,10 +53,14 @@ def test_vicon_cam_extrinsic_compose():
 def test_far_pivot_roundtrip():
     cfg = scan2d_config(local_size_m=(3.2, 3.2, 1.6), voxel_width=0.2,
                         max_blocks=1024)
-    origin_blk, origin_vox, off = canvas_geometry(cfg, np.asarray([25000, -25000, 100]))
-    assert (off >= 0).all()
+    # cocs are canvas-relative (re-anchored on scroll), so pivots far beyond
+    # int16 are legal; only int32 grid-coordinate overflow is rejected
+    for pvt in ([25000, -25000, 100], [40_000_000, 0, 0]):
+        origin_blk, origin_vox, off = canvas_geometry(cfg, np.asarray(pvt))
+        assert (off >= 0).all()
+        assert (np.abs(origin_blk.astype(np.int64) * 8) < 2 ** 31).all()
     with pytest.raises(ValueError):
-        canvas_geometry(cfg, np.asarray([32000, 0, 0]))
+        canvas_geometry(cfg, np.asarray([1 << 31, 0, 0]))
 
 
 def test_empty_observation_frame():

@@ -53,8 +53,8 @@ def test_committed_state_invariants(fast):
     idx = np.argwhere(valid)
     assert len(idx) > (400 if fast else 1000)
 
-    vg = idx + origin  # voxel global coords
-    cg = coc[valid]    # stored coc global coords
+    vg = idx + origin            # voxel global coords
+    cg = coc[valid] + origin     # stored cocs are canvas-relative
 
     # I1: pair self-consistency
     d2 = ((vg - cg) ** 2).sum(-1)

@@ -110,6 +110,9 @@ def main():
                     help="override the incremental-EDT engine (default: the "
                          "case preset; 'relax' is the reference-mirroring "
                          "wavefront engine)")
+    ap.add_argument("--env-variant", default=None,
+                    help="override cfg.edt_env_variant (base|mono|fusepay|"
+                         "mono+fusepay|cf|cf_base)")
     ap.add_argument("--batch", type=int, default=0, metavar="K",
                     help="scanned-replay mode: dispatch frames as lax.scan "
                          "chunks of K (process_*_batch; bit-identical to the "
@@ -136,6 +139,8 @@ def main():
     cfg = load_config(args.case)
     if args.merge_mode is not None:
         cfg = cfg.replace(merge_mode=args.merge_mode)
+    if args.env_variant is not None:
+        cfg = cfg.replace(edt_env_variant=args.env_variant)
     if args.batch and args.profile:
         # the RMSE ground-truth checker needs per-frame host data, which the
         # scanned replay doesn't surface — profile runs stay per-frame

@@ -146,9 +146,14 @@ def main():
         gotm = batch_edt(glb, max_width=mw, pallas=True, mid=True)
         okm = all(np.array_equal(np.asarray(gotm[k]), ref[k])
                   for k in ("dist_sq", "coc", "valid"))
+        # packed Pallas phase-1 scan (ops/pallas/phase1.py)
+        gotp = batch_edt(glb, max_width=mw, pallas=True, p1="pallas")
+        okp = all(np.array_equal(np.asarray(gotp[k]), ref[k])
+                  for k in ("dist_sq", "coc", "valid"))
         print(f"{name}: pallas==dense {ok}  mid==dense {okm}  "
-              f"(first pass {1e3*(t1-t0):.0f} ms incl. compile)")
-        failures += (not ok) + (not okm)
+              f"p1==dense {okp}  (first pass {1e3*(t1-t0):.0f} ms incl. "
+              "compile)")
+        failures += (not ok) + (not okm) + (not okp)
 
     # scipy cross-check on one case (dist only; scipy has different tie cocs)
     from scipy import ndimage

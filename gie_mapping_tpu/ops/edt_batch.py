@@ -151,7 +151,7 @@ def _env_variant_kwargs(env_variant: str) -> dict:
 
 
 def _edt_zmajor_core(occ, env, max_width: int, z_global: int, reshard1,
-                     reshard2, env_mid=None):
+                     reshard2, env_mid=None, env_packed=None):
     """Phases 1-3 of the z-major EDT with pluggable phase-boundary reshards.
 
     reshard1: [Xl,Y,Z]-layout phase-1 output -> phase-2 [X,Zl,Y] layout
@@ -164,17 +164,34 @@ def _edt_zmajor_core(occ, env, max_width: int, z_global: int, reshard1,
     ((best << idx_bits | site), *payloads) — one output array per phase
     instead of two; the unpack shifts here fuse into the next pass.
 
+    env_packed (fn(packed, yb), cfg.edt_phase1="pallas"): phase 1 runs as
+    the single-pass Pallas scan kernel (ops/pallas/phase1.py) emitting ONE
+    packed (g1sq, coc_y, valid) word per voxel instead of the XLA
+    cummax/cummin cascade's two arrays — one reshard1 pass (and half the
+    all_to_all bytes when sharded) instead of two, and the phase-2 envelope
+    fetches one HBM operand.  Outputs are bit-identical.
+
     Returns (packed_c [Xl,Y,Z], pay3b [Xl,Y,Z], zbits): packed_c holds
     (dist << zbits+1 | coc_z << 1 | valid), pay3b (coc_x << 11 | coc_y << 1
     | valid)."""
-    g1, coc_y1, valid1 = _phase1_along_y(occ, max_width)
-    g1sq = jnp.where(valid1, g1 * g1, _BIG)
-    # Payloads ride as ONE packed int32 (coords < 2^10, valid 1 bit), so the
-    # envelope's payload-select pass runs once instead of once per payload.
-    pay2 = (coc_y1 << 1) | valid1.astype(jnp.int32)
-    f2 = reshard1(g1sq)
-    ib2 = _env_idx_bits(f2.shape[0])
-    pk2, pay2t = env(f2, (reshard1(pay2),))
+    if env_packed is not None:
+        from .pallas.phase1 import phase1_pack_bits, phase1_packed_pallas
+
+        yb = phase1_pack_bits(occ.shape[1])
+        packed1 = phase1_packed_pallas(occ, max_width)
+        f2p = reshard1(packed1)
+        ib2 = _env_idx_bits(f2p.shape[0])
+        pk2, pay2t = env_packed(f2p, yb)
+    else:
+        g1, coc_y1, valid1 = _phase1_along_y(occ, max_width)
+        g1sq = jnp.where(valid1, g1 * g1, _BIG)
+        # Payloads ride as ONE packed int32 (coords < 2^10, valid 1 bit), so
+        # the envelope's payload-select pass runs once instead of once per
+        # payload.
+        pay2 = (coc_y1 << 1) | valid1.astype(jnp.int32)
+        f2 = reshard1(g1sq)
+        ib2 = _env_idx_bits(f2.shape[0])
+        pk2, pay2t = env(f2, (reshard1(pay2),))
     d2t = pk2 >> ib2
     site2t = pk2 & ((1 << ib2) - 1)
     d2m = jnp.where((pay2t & 1) > 0, d2t, _BIG)        # [X,Zl,Y]
@@ -205,10 +222,10 @@ def _edt_zmajor_core(occ, env, max_width: int, z_global: int, reshard1,
 
 
 @partial(jax.jit, static_argnames=("max_width", "chunk", "pallas", "zmajor",
-                                   "mid", "env_variant"))
+                                   "mid", "env_variant", "p1"))
 def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = None,
               zmajor: bool = True, mid: bool | None = None,
-              env_variant: str = "base"):
+              env_variant: str = "base", p1: str = "xla"):
     """Batch local EDT over a dense grid.
 
     Args:
@@ -253,12 +270,20 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = No
 
         env_mid = lambda f, payloads: envelope_mid_pallas(
             f, payloads, packed_out=True, **vkw)
+    env_packed = None
+    if p1 == "pallas" and pallas and zmajor and Z > 1:
+        from .pallas.envelope import envelope_packed_pallas
+
+        env_packed = lambda f, yb: envelope_packed_pallas(
+            f, yb, packed_out=True, **vkw)
+    elif p1 != "xla" and p1 != "pallas":
+        raise ValueError(f"unknown p1 variant {p1!r}; valid: xla, pallas")
     if zmajor and Z > 1:
         tzy = lambda a: jnp.transpose(a, (0, 2, 1))
         packed_c, pay3b, zbits = _edt_zmajor_core(
             occ, env, max_width, Z,
             reshard1=tzy, reshard2=lambda a: jnp.moveaxis(a, 1, 0),
-            env_mid=env_mid)
+            env_mid=env_mid, env_packed=env_packed)
         dist_sq = packed_c >> (zbits + 1)
         coc_z = (packed_c >> 1) & ((1 << zbits) - 1)
         coc_x = pay3b >> 11
@@ -322,9 +347,10 @@ def sharded_edt_ok(shape, mesh) -> bool:
 
 
 @partial(jax.jit, static_argnames=("max_width", "chunk", "pallas", "mesh",
-                                   "env_variant"))
+                                   "env_variant", "p1"))
 def batch_edt_sharded(glb_type, max_width: int, mesh, chunk: int = 8,
-                      pallas: bool | None = None, env_variant: str = "base"):
+                      pallas: bool | None = None, env_variant: str = "base",
+                      p1: str = "xla"):
     """batch_edt over a canvas sharded along x on a 1-D device mesh.
 
     Distributed separable-transform layout (the classic sharded-FFT recipe,
@@ -358,17 +384,30 @@ def batch_edt_sharded(glb_type, max_width: int, mesh, chunk: int = 8,
     else:
         env = lambda f, payloads: lower_envelope(f, payloads=payloads,
                                                  chunk=chunk, packed_out=True)
+    env_packed = None
+    if p1 == "pallas" and pallas:
+        from .pallas.envelope import envelope_packed_pallas
+
+        env_packed = lambda f, yb: envelope_packed_pallas(
+            f, yb, packed_out=True, **vkw)
+    elif p1 != "xla" and p1 != "pallas":
+        raise ValueError(f"unknown p1 variant {p1!r}; valid: xla, pallas")
 
     def body(occ_l):
         a2a = lambda a: jax.lax.all_to_all(a, MESH_AXIS, 1, 0, tiled=True)
         packed_c, pay3b, zbits = _edt_zmajor_core(
             occ_l, env, max_width, Z,
             reshard1=lambda a: a2a(jnp.transpose(a, (0, 2, 1))),
-            reshard2=lambda a: a2a(jnp.moveaxis(a, 1, 0)))
+            reshard2=lambda a: a2a(jnp.moveaxis(a, 1, 0)),
+            env_packed=env_packed)
         return packed_c, pay3b
 
+    # check_vma=False: interpret-mode pallas_call can't annotate its outputs'
+    # varying mesh axes (tests run the sharded kernels on the CPU mesh);
+    # compiled lowering is unaffected
     packed_c, pay3b = jax.shard_map(
         body, mesh=mesh, in_specs=P(MESH_AXIS), out_specs=P(MESH_AXIS),
+        check_vma=False,
     )(occ)
 
     zbits = (Z - 1).bit_length() + 1

@@ -44,8 +44,8 @@ def _round_up(v, m):
 
 
 def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, mono, packed_out,
-                     fusepay, cf, active_ref, lo_ref, hi_ref, men_ref, f_hbm,
-                     *refs):
+                     fusepay, cf, packed_yb, active_ref, lo_ref, hi_ref,
+                     men_ref, f_hbm, *refs):
     """Site operands stay in HBM; the active branch DMAs one [N,128] lane
     tile into VMEM scratch (once per lane tile — xc==0 runs first), so
     skipped tiles pay neither compute nor fetch.
@@ -86,13 +86,21 @@ def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, mono, packed_out,
     Every excluded site loses strictly for every sited lane, so outputs
     stay bit-identical.  This is the two-level transform that stops
     far-from-frustum lanes paying the tile-worst radius: winner POSITIONS
-    cluster at the sites, so brackets stay narrow where radii are huge."""
+    cluster at the sites, so brackets stay narrow where radii are huge.
+
+    packed_yb: when set, f_hbm holds phase 1's PACKED word
+    ((g1sq << yb+1) | (coc_y << 1) | valid — ops/pallas/phase1.py) and there
+    is NO separate payload operand: ONE DMA fetches the tile, then a VMEM
+    unpack splits f (g1sq where valid else cap — bit-identical to the
+    unpacked path's clamp) from the (coc_y << 1 | valid) payload.  Halves
+    this kernel's HBM input traffic."""
     n_main = 1 if packed_out else 2
-    pay_hbm = refs[:n_payloads]
-    outs_main = refs[n_payloads: n_payloads + n_main]
-    out_pays = refs[n_payloads + n_main: n_payloads + n_main + n_payloads]
-    scratch = refs[2 * n_payloads + n_main:
-                   2 * n_payloads + n_main + 1 + n_payloads]
+    n_in_pays = 0 if packed_yb is not None else n_payloads
+    pay_hbm = refs[:n_in_pays]
+    outs_main = refs[n_in_pays: n_in_pays + n_main]
+    out_pays = refs[n_in_pays + n_main: n_in_pays + n_main + n_payloads]
+    scratch = refs[n_in_pays + n_main + n_payloads:
+                   n_in_pays + n_main + n_payloads + 1 + n_payloads]
     carry = refs[-2]
     sem = refs[-1]
 
@@ -121,12 +129,22 @@ def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, mono, packed_out,
         @pl.when(xc == 0)  # first x-chunk of this lane tile: fetch sites
         def _():
             carry[0] = 0
-            for j, (src, dst) in enumerate(
-                [(f_hbm, f_vmem)] + list(zip(pay_hbm, pay_vmem))
-            ):
-                cp = pltpu.make_async_copy(src.at[:, col], dst, sem.at[j])
+            if packed_yb is not None:
+                cp = pltpu.make_async_copy(f_hbm.at[:, col], pay_vmem[0],
+                                           sem.at[0])
                 cp.start()
                 cp.wait()
+                p = pay_vmem[0][...]
+                f_vmem[...] = jnp.where((p & 1) > 0, p >> (packed_yb + 1),
+                                        cap)
+                pay_vmem[0][...] = p & ((1 << (packed_yb + 1)) - 1)
+            else:
+                for j, (src, dst) in enumerate(
+                    [(f_hbm, f_vmem)] + list(zip(pay_hbm, pay_vmem))
+                ):
+                    cp = pltpu.make_async_copy(src.at[:, col], dst, sem.at[j])
+                    cp.start()
+                    cp.wait()
 
         # winner-monotonicity carry: the envelope's argmin is non-decreasing
         # in x, so the previous (sub-)chunk's last-row winner (min over lanes
@@ -211,12 +229,22 @@ def _envelope_kernel(n_sites, idx_bits, n_payloads, n_xc, mono, packed_out,
                     out_pays[k][rows, :] = sels[k]
 
 
-def _chunk_bands(fp, N, n_tiles, n_chunks, lo, hi, big, width=XC):
+def _fmin8(fp, N, big):
+    """Per-lane 8-block site-cost minima [nb, Lp] + per-lane sited flag [Lp]
+    — the ONE full read of f shared by the slab bounds and every band
+    helper (act_s/men used to be separate full-canvas reads)."""
+    nb = -(-N // 8)
+    fpad = jnp.pad(fp, ((0, nb * 8 - N), (0, 0)), constant_values=big)
+    fmin8 = jnp.min(fpad.reshape(nb, 8, -1), axis=1)           # [nb, Lp]
+    return fmin8, jnp.any(fmin8 < big, axis=0)
+
+
+def _chunk_bands(fmin8, sited, N, n_tiles, n_chunks, lo, hi, big, width=XC):
     """Per-(x-chunk, lane-tile) site bands [lo2, hi2) that provably contain
     every possible winner (radius bound).
 
     For each lane, group sites into 8-wide coarse blocks and take the block
-    minimum of f.  For chunk c and lane l,
+    minimum of f (fmin8, computed once by _fmin8).  For chunk c and lane l,
         U[c,l] = min over blocks cb ( maxdx(c,cb)^2 + fmin8[cb,l] )
     upper-bounds the lane's true best cost for EVERY x in the chunk (the
     block term bounds the cost of using that block's min-f site from the
@@ -228,11 +256,7 @@ def _chunk_bands(fp, N, n_tiles, n_chunks, lo, hi, big, width=XC):
 
     width: rows per chunk — XC for the plain kernel, SUB for the
     coarse-to-fine sub-chunk bands (n_chunks scales accordingly)."""
-    nb = -(-N // 8)
-    fpad = jnp.pad(fp, ((0, nb * 8 - N), (0, 0)), constant_values=big)
-    fmin8 = jnp.min(fpad.reshape(nb, 8, -1), axis=1)           # [nb, Lp]
-    sited = jnp.any(fmin8 < big, axis=0)                       # [Lp]
-
+    nb = fmin8.shape[0]
     c_idx = jnp.arange(n_chunks, dtype=jnp.int32)
     cb_idx = jnp.arange(nb, dtype=jnp.int32)
     a = c_idx * width                                          # chunk start
@@ -275,7 +299,7 @@ def _coarse_winners(fp, N, n_pts, idx_bits, cap):
     return jnp.min(packed, axis=1) & ((1 << idx_bits) - 1)     # [n_pts, Lp]
 
 
-def _cf_bands(fp, N, n_tiles, n_xc, lo, hi, big, idx_bits):
+def _cf_bands(fp, fmin8, sited, N, n_tiles, n_xc, lo, hi, big, idx_bits):
     """Coarse-to-fine bands: per-(SUB-row sub-chunk, lane-tile) [lo2, hi2) =
     radius bound @ SUB granularity  ∩  winner bracket @ XC granularity.
 
@@ -288,10 +312,9 @@ def _cf_bands(fp, N, n_tiles, n_xc, lo, hi, big, idx_bits):
     radius-sized bands.  Exactness: every excluded site loses strictly (or
     ties at a larger index) for every sited lane."""
     nsub = XC // SUB
-    lo_u, hi_u = _chunk_bands(fp, N, n_tiles, n_xc * nsub, lo, hi, big,
-                              width=SUB)                # [tiles * n_xc * nsub]
+    lo_u, hi_u = _chunk_bands(fmin8, sited, N, n_tiles, n_xc * nsub, lo, hi,
+                              big, width=SUB)           # [tiles * n_xc * nsub]
     w = _coarse_winners(fp, N, n_xc + 1, idx_bits, big)        # [n_xc+1, Lp]
-    sited = jnp.any(fp < big, axis=0)                          # [Lp]
     w_lo = jnp.where(sited[None, :], w, N)
     w_hi = jnp.where(sited[None, :], w, -1)
     w_lo_t = jnp.min(w_lo.reshape(n_xc + 1, n_tiles, LANES), axis=2)
@@ -309,59 +332,86 @@ def _cf_bands(fp, N, n_tiles, n_xc, lo, hi, big, idx_bits):
 
 
 @functools.partial(jax.jit, static_argnames=("n_payloads", "bands", "mono",
-                                              "packed_out", "fusepay", "cf"))
+                                              "packed_out", "fusepay", "cf",
+                                              "packed_yb"))
 def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True,
                  mono: bool = False, packed_out: bool = False,
-                 fusepay: bool = False, cf: bool = False):
-    """fsq int32 [N, L]; payloads tuple of int32 [N, L]."""
+                 fusepay: bool = False, cf: bool = False,
+                 packed_yb: int | None = None):
+    """fsq int32 [N, L]; payloads tuple of int32 [N, L].  With packed_yb,
+    fsq holds the phase-1 packed word (payloads must be empty, n_payloads=1:
+    the payload is unpacked in-kernel — see _envelope_kernel)."""
     N, L = fsq.shape
     idx_bits = env_idx_bits(N)
     Lp = _round_up(L, LANES)
     Np = _round_up(N, XC)
     cap = (1 << (31 - idx_bits)) - 1
+    # packed pad word 0 unpacks to (f=cap, payload-invalid)
+    fill = 0 if packed_yb is not None else cap
 
-    fp = jnp.pad(fsq, ((0, 0), (0, Lp - L)), constant_values=cap)
+    fp = jnp.pad(fsq, ((0, 0), (0, Lp - L)), constant_values=fill)
     pp = [jnp.pad(p, ((0, 0), (0, Lp - L))) for p in payloads]
+    if packed_yb is not None:  # band prologue reads the unpacked costs
+        f_band = jnp.where((fp & 1) > 0, fp >> (packed_yb + 1), cap)
+    else:
+        f_band = fp
 
     n_tiles = Lp // LANES
     n_xc = Np // XC
-    act_s = jnp.any(fp.reshape(N, n_tiles, LANES) < cap, axis=2)  # [N, tiles]
-    any_t = jnp.any(act_s, axis=0)
+    # ONE full read of f feeds slab bounds + bands: per-lane 8-block minima,
+    # reduced to per-(block, tile) sitedness.  The slab is 8-aligned — a
+    # sound superset of the exact row bounds: the extra rows hold f == cap,
+    # which loses to every finite site (no sited lane in batch_edt's use can
+    # clamp to cap: max dx^2 + f ~ 1.4e5 << cap) and carries payload-valid 0
+    # for siteless lanes either way.
+    fmin8, sited = _fmin8(f_band, N, jnp.int32(cap))
+    sited_bt = jnp.any((fmin8 < cap).reshape(-1, n_tiles, LANES), axis=2)
+    any_t = jnp.any(sited_bt, axis=0)                          # [tiles]
     active = any_t.astype(jnp.int32)
-    lo = jnp.where(any_t, jnp.argmax(act_s, axis=0), 0).astype(jnp.int32)
-    hi = jnp.where(any_t, N - jnp.argmax(act_s[::-1], axis=0), 0).astype(jnp.int32)
+    nb = fmin8.shape[0]
+    lo = jnp.where(any_t, jnp.argmax(sited_bt, axis=0) * 8, 0).astype(jnp.int32)
+    hi = jnp.where(
+        any_t,
+        jnp.minimum((nb - jnp.argmax(sited_bt[::-1], axis=0)) * 8, N),
+        0).astype(jnp.int32)
     if cf:
-        lo, hi = _cf_bands(fp, N, n_tiles, n_xc, lo, hi, jnp.int32(cap),
-                           idx_bits)
+        lo, hi = _cf_bands(f_band, fmin8, sited, N, n_tiles, n_xc, lo, hi,
+                           jnp.int32(cap), idx_bits)
     elif bands:
-        lo, hi = _chunk_bands(fp, N, n_tiles, n_xc, lo, hi, jnp.int32(cap))
+        lo, hi = _chunk_bands(fmin8, sited, N, n_tiles, n_xc, lo, hi,
+                              jnp.int32(cap))
     else:  # per-tile slab only (A/B baseline)
         lo = jnp.repeat(lo, n_xc)
         hi = jnp.repeat(hi, n_xc)
     # Mosaic DMA slices must be 8-sublane aligned: pad the SITE axis with
-    # cap rows (every [lo, hi) band stays <= N, so results are unchanged)
+    # invalid rows (every [lo, hi) band stays <= N, so results are unchanged)
     N8 = _round_up(N, 8)
     if N8 != N:
-        fp = jnp.pad(fp, ((0, N8 - N), (0, 0)), constant_values=cap)
+        fp = jnp.pad(fp, ((0, N8 - N), (0, 0)), constant_values=fill)
         pp = [jnp.pad(p, ((0, N8 - N), (0, 0))) for p in pp]
 
     # mono-carry safety gate: only sound when no sited lane's cost can clamp
     # to cap (see _envelope_kernel); near-cap site costs disable the carry
     # int32-safe: max_finite < cap <= 2^(31-ib) and (Np-1)^2 <= 2^(2*ib),
-    # whose sum stays < 2^31 for every legal idx_bits
-    men = ((jnp.max(jnp.where(fp < cap, fp, 0))
-            + (Np - 1) ** 2) < cap).astype(jnp.int32).reshape(1)
+    # whose sum stays < 2^31 for every legal idx_bits.  Only the mono/cf
+    # carry reads it — gating skips a dead full-canvas max on other variants.
+    if mono or cf:
+        men = ((jnp.max(jnp.where(f_band < cap, f_band, 0))
+                + (Np - 1) ** 2) < cap).astype(jnp.int32).reshape(1)
+    else:
+        men = jnp.zeros(1, jnp.int32)
 
     grid = (n_tiles, n_xc)
     site_spec = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM; manual DMA
     out_spec = pl.BlockSpec((XC, LANES), lambda lx, xc, *_: (xc, lx),
                             memory_space=pltpu.VMEM)
 
+    n_in = 1 + (0 if packed_yb is not None else n_payloads)
     n_out = (1 if packed_out else 2) + n_payloads
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=grid,
-        in_specs=[site_spec] * (1 + n_payloads),
+        in_specs=[site_spec] * n_in,
         out_specs=tuple([out_spec] * n_out),
         scratch_shapes=[pltpu.VMEM((N8, LANES), jnp.int32)] * (1 + n_payloads)
         + [pltpu.SMEM((1,), jnp.int32),
@@ -369,7 +419,7 @@ def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True,
     )
     outs = pl.pallas_call(
         functools.partial(_envelope_kernel, N, idx_bits, n_payloads, n_xc,
-                          mono, packed_out, fusepay, cf),
+                          mono, packed_out, fusepay, cf, packed_yb),
         grid_spec=grid_spec,
         out_shape=tuple(
             jax.ShapeDtypeStruct((Np, Lp), jnp.int32) for _ in range(n_out)
@@ -379,21 +429,22 @@ def _envelope_2d(fsq, payloads, n_payloads: int, bands: bool = True,
 
 
 def _envelope_mid_kernel(n_sites, idx_bits, n_payloads, n_tiles, n_xc, mono,
-                         packed_out, fusepay, cf, active_ref, lo_ref, hi_ref,
-                         men_ref, f_hbm, *refs):
+                         packed_out, fusepay, cf, packed_yb, active_ref,
+                         lo_ref, hi_ref, men_ref, f_hbm, *refs):
     """Batched variant of _envelope_kernel: the envelope runs along the
     MIDDLE axis of [B, N, L] inputs (grid dim 0 = batch), so a consumer can
     read a producer's [X, Z, Y] layout directly — the [X,Z,Y]->[Z,X,Y]
     transpose pair between two pallas_calls (which XLA cannot fuse away)
     disappears.  Per-(b, lane-tile) site slabs and per-chunk bands (incl.
     the cf sub-chunk bands) work exactly as in the flat kernel, indexed at
-    b*n_tiles + lx."""
+    b*n_tiles + lx.  packed_yb: phase-1 packed input, see _envelope_kernel."""
     n_main = 1 if packed_out else 2
-    pay_hbm = refs[:n_payloads]
-    outs_main = refs[n_payloads: n_payloads + n_main]
-    out_pays = refs[n_payloads + n_main: n_payloads + n_main + n_payloads]
-    scratch = refs[2 * n_payloads + n_main:
-                   2 * n_payloads + n_main + 1 + n_payloads]
+    n_in_pays = 0 if packed_yb is not None else n_payloads
+    pay_hbm = refs[:n_in_pays]
+    outs_main = refs[n_in_pays: n_in_pays + n_main]
+    out_pays = refs[n_in_pays + n_main: n_in_pays + n_main + n_payloads]
+    scratch = refs[n_in_pays + n_main + n_payloads:
+                   n_in_pays + n_main + n_payloads + 1 + n_payloads]
     carry = refs[-2]
     sem = refs[-1]
 
@@ -423,12 +474,23 @@ def _envelope_mid_kernel(n_sites, idx_bits, n_payloads, n_tiles, n_xc, mono,
         @pl.when(xc == 0)  # first x-chunk of this (batch, lane tile)
         def _():
             carry[0] = 0
-            for j, (src, dst) in enumerate(
-                [(f_hbm, f_vmem)] + list(zip(pay_hbm, pay_vmem))
-            ):
-                cp = pltpu.make_async_copy(src.at[b, :, col], dst, sem.at[j])
+            if packed_yb is not None:
+                cp = pltpu.make_async_copy(f_hbm.at[b, :, col], pay_vmem[0],
+                                           sem.at[0])
                 cp.start()
                 cp.wait()
+                p = pay_vmem[0][...]
+                f_vmem[...] = jnp.where((p & 1) > 0, p >> (packed_yb + 1),
+                                        cap)
+                pay_vmem[0][...] = p & ((1 << (packed_yb + 1)) - 1)
+            else:
+                for j, (src, dst) in enumerate(
+                    [(f_hbm, f_vmem)] + list(zip(pay_hbm, pay_vmem))
+                ):
+                    cp = pltpu.make_async_copy(src.at[b, :, col], dst,
+                                               sem.at[j])
+                    cp.start()
+                    cp.wait()
 
         n_sub = XC // SUB if cf else 1
         width = SUB if cf else XC
@@ -505,16 +567,21 @@ def _envelope_mid_kernel(n_sites, idx_bits, n_payloads, n_tiles, n_xc, mono,
                     out_pays[k][0, rows, :] = sels[k]
 
 
-def _chunk_bands_batched(fp, N, n_tiles, n_chunks, lo, hi, big, width=XC):
-    """Vectorised _chunk_bands over a leading batch dim: fp [B, N, Lp],
-    lo/hi [B, tiles] -> (lo2, hi2) flat [B*tiles*n_chunks] indexed
-    (b*n_tiles + lx)*n_chunks + c."""
-    B = fp.shape[0]
+def _fmin8_batched(fp, N, big):
+    """_fmin8 over a leading batch dim: fp [B, N, Lp] -> (fmin8 [B, nb, Lp],
+    sited [B, Lp])."""
     nb = -(-N // 8)
     fpad = jnp.pad(fp, ((0, 0), (0, nb * 8 - N), (0, 0)), constant_values=big)
-    fmin8 = jnp.min(fpad.reshape(B, nb, 8, -1), axis=2)        # [B, nb, Lp]
-    sited = jnp.any(fmin8 < big, axis=1)                       # [B, Lp]
+    fmin8 = jnp.min(fpad.reshape(fp.shape[0], nb, 8, -1), axis=2)
+    return fmin8, jnp.any(fmin8 < big, axis=1)
 
+
+def _chunk_bands_batched(fmin8, sited, N, n_tiles, n_chunks, lo, hi, big,
+                         width=XC):
+    """Vectorised _chunk_bands over a leading batch dim: fmin8 [B, nb, Lp],
+    lo/hi [B, tiles] -> (lo2, hi2) flat [B*tiles*n_chunks] indexed
+    (b*n_tiles + lx)*n_chunks + c."""
+    B, nb = fmin8.shape[0], fmin8.shape[1]
     c_idx = jnp.arange(n_chunks, dtype=jnp.int32)
     cb_idx = jnp.arange(nb, dtype=jnp.int32)
     a = c_idx * width
@@ -538,16 +605,16 @@ def _chunk_bands_batched(fp, N, n_tiles, n_chunks, lo, hi, big, width=XC):
             jnp.transpose(hi2, (0, 2, 1)).reshape(-1).astype(jnp.int32))
 
 
-def _cf_bands_batched(fp, N, n_tiles, n_xc, lo, hi, big, idx_bits):
+def _cf_bands_batched(fp, fmin8, sited, N, n_tiles, n_xc, lo, hi, big,
+                      idx_bits):
     """Vectorised _cf_bands over a leading batch dim (see _cf_bands): fp
     [B, N, Lp] -> flat [(b*n_tiles + lx)*n_xc*nsub + xc*nsub + s]."""
     B = fp.shape[0]
     nsub = XC // SUB
-    lo_u, hi_u = _chunk_bands_batched(fp, N, n_tiles, n_xc * nsub, lo, hi,
-                                      big, width=SUB)
+    lo_u, hi_u = _chunk_bands_batched(fmin8, sited, N, n_tiles, n_xc * nsub,
+                                      lo, hi, big, width=SUB)
     # coarse winners per batch slice (vmapped broadcast-reduce)
     w = jax.vmap(lambda f: _coarse_winners(f, N, n_xc + 1, idx_bits, big))(fp)
-    sited = jnp.any(fp < big, axis=1)                          # [B, Lp]
     w_lo = jnp.where(sited[:, None, :], w, N)                  # [B, n_xc+1, Lp]
     w_hi = jnp.where(sited[:, None, :], w, -1)
     w_lo_t = jnp.min(w_lo.reshape(B, n_xc + 1, n_tiles, LANES), axis=3)
@@ -563,58 +630,75 @@ def _cf_bands_batched(fp, N, n_tiles, n_xc, lo, hi, big, idx_bits):
 
 
 @functools.partial(jax.jit, static_argnames=("n_payloads", "bands", "mono",
-                                              "packed_out", "fusepay", "cf"))
+                                              "packed_out", "fusepay", "cf",
+                                              "packed_yb"))
 def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True,
                      mono: bool = False, packed_out: bool = False,
-                     fusepay: bool = False, cf: bool = False):
-    """f int32 [B, N, L]; envelope along axis 1; outputs [B, N, L]."""
+                     fusepay: bool = False, cf: bool = False,
+                     packed_yb: int | None = None):
+    """f int32 [B, N, L]; envelope along axis 1; outputs [B, N, L].
+    packed_yb: phase-1 packed input (see _envelope_2d)."""
     B, N, L = f.shape
     idx_bits = env_idx_bits(N)
     Lp = _round_up(L, LANES)
     Np = _round_up(N, XC)
     cap = (1 << (31 - idx_bits)) - 1
+    fill = 0 if packed_yb is not None else cap
 
-    fp = jnp.pad(f, ((0, 0), (0, 0), (0, Lp - L)), constant_values=cap)
+    fp = jnp.pad(f, ((0, 0), (0, 0), (0, Lp - L)), constant_values=fill)
     pp = [jnp.pad(p, ((0, 0), (0, 0), (0, Lp - L))) for p in payloads]
+    if packed_yb is not None:
+        f_band = jnp.where((fp & 1) > 0, fp >> (packed_yb + 1), cap)
+    else:
+        f_band = fp
 
     n_tiles = Lp // LANES
     n_xc = Np // XC
-    act_s = jnp.any(fp.reshape(B, N, n_tiles, LANES) < cap, axis=3)
-    any_t = jnp.any(act_s, axis=1)                             # [B, tiles]
+    # shared 8-block-min read (see _envelope_2d: 8-aligned slab superset)
+    fmin8, sited = _fmin8_batched(f_band, N, jnp.int32(cap))
+    nb = fmin8.shape[1]
+    sited_bt = jnp.any((fmin8 < cap).reshape(B, nb, n_tiles, LANES), axis=3)
+    any_t = jnp.any(sited_bt, axis=1)                          # [B, tiles]
     active = any_t.astype(jnp.int32).reshape(-1)
-    lo = jnp.where(any_t, jnp.argmax(act_s, axis=1), 0).astype(jnp.int32)
-    hi = jnp.where(any_t, N - jnp.argmax(act_s[:, ::-1], axis=1), 0
+    lo = jnp.where(any_t, jnp.argmax(sited_bt, axis=1) * 8, 0
                    ).astype(jnp.int32)
+    hi = jnp.where(
+        any_t,
+        jnp.minimum((nb - jnp.argmax(sited_bt[:, ::-1], axis=1)) * 8, N),
+        0).astype(jnp.int32)
     if cf:
-        lo, hi = _cf_bands_batched(fp, N, n_tiles, n_xc, lo, hi,
-                                   jnp.int32(cap), idx_bits)
+        lo, hi = _cf_bands_batched(f_band, fmin8, sited, N, n_tiles, n_xc,
+                                   lo, hi, jnp.int32(cap), idx_bits)
     elif bands:
-        lo, hi = _chunk_bands_batched(fp, N, n_tiles, n_xc, lo, hi,
+        lo, hi = _chunk_bands_batched(fmin8, sited, N, n_tiles, n_xc, lo, hi,
                                       jnp.int32(cap))
     else:
         lo = jnp.repeat(lo.reshape(-1), n_xc)
         hi = jnp.repeat(hi.reshape(-1), n_xc)
     N8 = _round_up(N, 8)  # Mosaic DMA slices need 8-sublane alignment
     if N8 != N:
-        fp = jnp.pad(fp, ((0, 0), (0, N8 - N), (0, 0)), constant_values=cap)
+        fp = jnp.pad(fp, ((0, 0), (0, N8 - N), (0, 0)), constant_values=fill)
         pp = [jnp.pad(p, ((0, 0), (0, N8 - N), (0, 0))) for p in pp]
 
-    # mono-carry safety gate (see _envelope_kernel)
-    # int32-safe: max_finite < cap <= 2^(31-ib) and (Np-1)^2 <= 2^(2*ib),
-    # whose sum stays < 2^31 for every legal idx_bits
-    men = ((jnp.max(jnp.where(fp < cap, fp, 0))
-            + (Np - 1) ** 2) < cap).astype(jnp.int32).reshape(1)
+    # mono-carry safety gate (see _envelope_kernel); gated: only mono/cf
+    # read it, a dead full-canvas max otherwise
+    if mono or cf:
+        men = ((jnp.max(jnp.where(f_band < cap, f_band, 0))
+                + (Np - 1) ** 2) < cap).astype(jnp.int32).reshape(1)
+    else:
+        men = jnp.zeros(1, jnp.int32)
 
     grid = (B, n_tiles, n_xc)
     site_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_spec = pl.BlockSpec((1, XC, LANES), lambda b, lx, xc, *_: (b, xc, lx),
                             memory_space=pltpu.VMEM)
 
+    n_in = 1 + (0 if packed_yb is not None else n_payloads)
     n_out = (1 if packed_out else 2) + n_payloads
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=grid,
-        in_specs=[site_spec] * (1 + n_payloads),
+        in_specs=[site_spec] * n_in,
         out_specs=tuple([out_spec] * n_out),
         scratch_shapes=[pltpu.VMEM((N8, LANES), jnp.int32)] * (1 + n_payloads)
         + [pltpu.SMEM((1,), jnp.int32),
@@ -622,7 +706,8 @@ def _envelope_mid_3d(f, payloads, n_payloads: int, bands: bool = True,
     )
     outs = pl.pallas_call(
         functools.partial(_envelope_mid_kernel, N, idx_bits, n_payloads,
-                          n_tiles, n_xc, mono, packed_out, fusepay, cf),
+                          n_tiles, n_xc, mono, packed_out, fusepay, cf,
+                          packed_yb),
         grid_spec=grid_spec,
         out_shape=tuple(
             jax.ShapeDtypeStruct((B, Np, Lp), jnp.int32) for _ in range(n_out)
@@ -647,6 +732,42 @@ def envelope_mid_pallas(fsq, payloads=(), bands: bool = True,
         tuple(p.reshape(B, N, L) for p in payloads),
         n_payloads=len(payloads), bands=bands, mono=mono,
         packed_out=packed_out, fusepay=fusepay, cf=cf,
+    )
+    return tuple(r.reshape(shape) for r in res)
+
+
+def envelope_packed_pallas(packed, yb: int, bands: bool = True,
+                           mono: bool = False, packed_out: bool = False,
+                           fusepay: bool = False, cf: bool = False):
+    """Envelope over axis 0 of a phase-1 PACKED array [N, ...] (one HBM
+    operand carrying both site costs and the (coc_y<<1|valid) payload —
+    ops/pallas/phase1.py).  Returns the same
+    ((best << idx_bits | site), payload) pair as
+    envelope_pallas(f, (pay,), packed_out=True)."""
+    shape = packed.shape
+    N = shape[0]
+    L = 1
+    for s in shape[1:]:
+        L *= s
+    res = _envelope_2d(
+        packed.reshape(N, L), (), n_payloads=1, bands=bands, mono=mono,
+        packed_out=packed_out, fusepay=fusepay, cf=cf, packed_yb=yb,
+    )
+    return tuple(r.reshape(shape) for r in res)
+
+
+def envelope_mid_packed_pallas(packed, yb: int, bands: bool = True,
+                               mono: bool = False, packed_out: bool = False,
+                               fusepay: bool = False, cf: bool = False):
+    """Batched middle-axis variant of envelope_packed_pallas ([B, N, ...])."""
+    shape = packed.shape
+    B, N = shape[0], shape[1]
+    L = 1
+    for s in shape[2:]:
+        L *= s
+    res = _envelope_mid_3d(
+        packed.reshape(B, N, L), (), n_payloads=1, bands=bands, mono=mono,
+        packed_out=packed_out, fusepay=fusepay, cf=cf, packed_yb=yb,
     )
     return tuple(r.reshape(shape) for r in res)
 

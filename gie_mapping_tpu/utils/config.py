@@ -88,6 +88,12 @@ class MapConfig:
     # runs (throttle-sensitive), so the single-loop fused payload select is
     # the default everywhere.
     edt_env_variant: str = "fusepay"
+    # EDT phase-1 implementation: "xla" (cummax/cummin cascade) or "pallas"
+    # (single-pass packed scan kernel, ops/pallas/phase1.py — one HBM read +
+    # one packed write instead of the log-depth reduce_window rewrite, and
+    # half the phase-2 reshard bytes).  Bit-identical outputs; only a TPU
+    # performance choice (the dense CPU fallback always uses XLA phase 1).
+    edt_phase1: str = "xla"
     max_relax_iters: Optional[int] = None  # cap on fixed-point sweeps (None=auto)
     stream_max_blocks: Optional[int] = None  # compaction size for D2H streaming
     stream_k_cols: Optional[int] = None  # per-tick streamed block-column cap
@@ -111,6 +117,9 @@ class MapConfig:
         if self.edt_env_variant not in variants:
             raise ValueError(f"edt_env_variant {self.edt_env_variant!r} "
                              f"not in {variants}")
+        if self.edt_phase1 not in ("xla", "pallas"):
+            raise ValueError(f"edt_phase1 {self.edt_phase1!r} not in "
+                             "('xla', 'pallas')")
 
     # ---- derived static geometry -------------------------------------
     @property

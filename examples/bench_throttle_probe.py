@@ -89,15 +89,24 @@ def main():
     glb = jnp.asarray(occ)
     edt = chained(lambda g: batch_edt(g, max_width=384)["dist_sq"], glb)
 
-    print("per-iteration: bw = 128 MB moved; comp = 2.1 G int-ops; "
+    # per-iteration accounting:
+    #   bw: the scan carry guarantees 64 MB read + 64 MB write (0.128 GB);
+    #       the probe op r=a*3+1 adds up to another 0.128 GB UNLESS XLA
+    #       slice-narrows it through r[0] — so the true figure is in
+    #       [0.128, 0.256] GB and the printed GB/s is a range.
+    #   comp: 512 unrolled iterations x 2 int-ops (mul+add) x 16384
+    #       elements = 16.8 M int-ops per timed iteration.
+    print("per-iteration: bw = 128-256 MB moved; comp = 16.8 M int-ops; "
           "env/edt = cow-lady-class")
     for r in range(ROUNDS):
         row = {nm: f() for nm, f in
                (("bw", bw), ("comp", comp), ("env", env), ("edt", edt))}
-        gbps = 0.128 / (row["bw"] / 1e3)
-        gops = 2.1 / (row["comp"] / 1e3)
-        print(f"round {r}: bw {row['bw']:.2f} ms ({gbps:.0f} GB/s)   "
-              f"comp {row['comp']:.2f} ms ({gops:.0f} Gop/s)   "
+        gbps_lo = 0.128 / (row["bw"] / 1e3)
+        gbps_hi = 0.256 / (row["bw"] / 1e3)
+        gops = 0.0168 / (row["comp"] / 1e3)
+        print(f"round {r}: bw {row['bw']:.2f} ms "
+              f"({gbps_lo:.0f}-{gbps_hi:.0f} GB/s)   "
+              f"comp {row['comp']:.2f} ms ({gops:.1f} Gop/s)   "
               f"env {row['env']:.2f} ms   edt {row['edt']:.2f} ms",
               flush=True)
         time.sleep(2)

@@ -83,7 +83,9 @@ def main():
     k = convert_bag(args.out, npz, SENSOR_TOPIC, POSE_TOPIC)
     print(f"converted: {k} frames -> {npz}")
     import subprocess
-    cmd = [sys.executable, "examples/run_case.py", "cow_lady",
+    run_case = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "run_case.py")
+    cmd = [sys.executable, run_case, "cow_lady",
            "--replay", npz, "--frames", str(args.frames)]
     if args.cpu:
         cmd.append("--cpu")

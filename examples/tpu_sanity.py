@@ -146,14 +146,25 @@ def main():
         gotm = batch_edt(glb, max_width=mw, pallas=True, mid=True)
         okm = all(np.array_equal(np.asarray(gotm[k]), ref[k])
                   for k in ("dist_sq", "coc", "valid"))
-        # packed Pallas phase-1 scan (ops/pallas/phase1.py)
-        gotp = batch_edt(glb, max_width=mw, pallas=True, p1="pallas")
+        # packed Pallas phase-1 scan (ops/pallas/phase1.py), on the
+        # production fusepay variant (the MapConfig default)
+        gotp = batch_edt(glb, max_width=mw, pallas=True, p1="pallas",
+                         env_variant="fusepay")
         okp = all(np.array_equal(np.asarray(gotp[k]), ref[k])
                   for k in ("dist_sq", "coc", "valid"))
+        # coarse-to-fine bands (SUB-row sub-chunks + winner brackets)
+        gotc = batch_edt(glb, max_width=mw, pallas=True, env_variant="cf")
+        okc = all(np.array_equal(np.asarray(gotc[k]), ref[k])
+                  for k in ("dist_sq", "coc", "valid"))
+        # the full minimum-traffic composition (p1 + mid + fusepay)
+        gota = batch_edt(glb, max_width=mw, pallas=True, p1="pallas",
+                         mid=True, env_variant="fusepay")
+        oka = all(np.array_equal(np.asarray(gota[k]), ref[k])
+                  for k in ("dist_sq", "coc", "valid"))
         print(f"{name}: pallas==dense {ok}  mid==dense {okm}  "
-              f"p1==dense {okp}  (first pass {1e3*(t1-t0):.0f} ms incl. "
-              "compile)")
-        failures += (not ok) + (not okm) + (not okp)
+              f"p1==dense {okp}  cf==dense {okc}  allin==dense {oka}  "
+              f"(first pass {1e3*(t1-t0):.0f} ms incl. compile)")
+        failures += (not ok) + (not okm) + (not okp) + (not okc) + (not oka)
 
     # scipy cross-check on one case (dist only; scipy has different tie cocs)
     from scipy import ndimage

@@ -756,28 +756,20 @@ def envelope_packed_pallas(packed, yb: int, bands: bool = True,
     return tuple(r.reshape(shape) for r in res)
 
 
-def envelope_mid_packed_pallas(packed, yb: int, bands: bool = True,
-                               mono: bool = False, packed_out: bool = False,
-                               fusepay: bool = False, cf: bool = False):
-    """Batched middle-axis variant of envelope_packed_pallas ([B, N, ...])."""
-    shape = packed.shape
-    B, N = shape[0], shape[1]
-    L = 1
-    for s in shape[2:]:
-        L *= s
-    res = _envelope_mid_3d(
-        packed.reshape(B, N, L), (), n_payloads=1, bands=bands, mono=mono,
-        packed_out=packed_out, fusepay=fusepay, cf=cf, packed_yb=yb,
-    )
-    return tuple(r.reshape(shape) for r in res)
-
-
 def envelope_pallas(fsq, payloads=(), bands: bool = True, mono: bool = False,
                     packed_out: bool = False, fusepay: bool = False,
                     cf: bool = False):
     """Drop-in (best, site, *payloads) envelope over axis 0 of [N, ...].
     With packed_out, ((best << idx_bits | site), *payloads) instead — one
-    fewer full-size output (see _envelope_kernel)."""
+    fewer full-size output (see _envelope_kernel).
+
+    Precondition: a sited lane's true best cost must not clamp to the packing
+    cap ((1 << (31 - idx_bits)) - 1): the band slab is an 8-aligned superset
+    whose padding rows carry cap-valued sites, so a sited lane whose winner
+    ties AT the cap may resolve to a padding row (payload valid=0).
+    batch_edt satisfies this by construction (finite costs < N² + input range
+    never clamp); direct callers with near-cap costs must pre-clamp below
+    cap - (N-1)²."""
     shape = fsq.shape
     N = shape[0]
     L = 1

@@ -20,8 +20,10 @@ and their seeding/merge kernels (unify_helper.cuh:201-523):
   gone: convergence is an on-device reduction, the whole merge is one XLA
   program.
 
-Closest-obstacle coordinates are int16 GLOBAL voxel coordinates (sentinel
-COC_INVALID16); distances stay int32 squared grid units.
+Closest-obstacle coordinates are int16 CANVAS-RELATIVE voxel coordinates
+(anchored at the canvas origin and re-anchored on scroll by the caller —
+see map_state.scroll_canvas; sentinel COC_INVALID16); distances stay int32 squared
+grid units.
 
 Divergences (documented): invalidated voxels that no valid obstacle
 re-reaches are stored as "unseen" (EMPTY/INVALID) rather than keeping the

@@ -112,11 +112,11 @@ class MapConfig:
         if self.merge_mode not in ("canvas_edt", "relax"):
             raise ValueError(f"merge_mode {self.merge_mode!r} not in "
                              "('canvas_edt', 'relax')")
-        variants = ("base", "mono", "fusepay", "mono+fusepay", "cf",
-                    "cf_base")  # must match ops.edt_batch._ENV_VARIANTS
-        if self.edt_env_variant not in variants:
+        # lazy import: single source of truth, no import cycle at load time
+        from ..ops.edt_batch import _ENV_VARIANTS
+        if self.edt_env_variant not in _ENV_VARIANTS:
             raise ValueError(f"edt_env_variant {self.edt_env_variant!r} "
-                             f"not in {variants}")
+                             f"not in {sorted(_ENV_VARIANTS)}")
         if self.edt_phase1 not in ("xla", "pallas"):
             raise ValueError(f"edt_phase1 {self.edt_phase1!r} not in "
                              "('xla', 'pallas')")

@@ -31,6 +31,10 @@ PAYLOADS = [
      {"AB_ROUNDS": "4"}),
     ("env_variants_ab",
      [sys.executable, os.path.join(HERE, "bench_env_variants_ab.py")], {}),
+    ("edt_parts", [sys.executable, os.path.join(HERE, "bench_edt_parts.py")],
+     {}),
+    ("env_efficiency",
+     [sys.executable, os.path.join(HERE, "bench_env_efficiency.py")], {}),
     # the per-case suite + headline, so the round's committed numbers come
     # from a quiet window rather than whatever the driver's window gives
     ("bench_suite", [sys.executable, os.path.join(REPO, "bench_suite.py")], {}),

@@ -86,6 +86,42 @@ class FrameOutput:
             "origin": self.origin,
         }
 
+    # 8-byte SeenDist record: float d + bool s + bool o + 2 pad bytes
+    # (C struct layout of local_batch.h:19-24 — float aligns the struct to 4,
+    # so sizeof(SeenDist) == 8; the field is literally named payload8)
+    PAYLOAD8_DTYPE = np.dtype(
+        [("d", "<f4"), ("s", "u1"), ("o", "u1"), ("_pad", "V2")])
+
+    def cost_map_msg(self, voxel_width: float):
+        """Byte-compatible CostMap message (msg/CostMap.msg:1-15) so a
+        consumer of the reference's planner topic can parse our output
+        unchanged.
+
+        `payload8` reproduces the raw memcpy of SeenDist[volume]
+        (volumetric_mapper.cpp:206-212, local_batch.h:386): records in the
+        reference's linear order x-fastest (`coord2idx_local`,
+        local_batch.h:168-170).  Faithful quirks of convertCostMap
+        (local_batch.h:382-391): only `d` (EDT in GRID units — consumers
+        scale by `width`) and `o` (the raw glb_type char coerced to bool,
+        i.e. truthy = known) are written; `s` is never assigned by the
+        reference and is 0 here.
+        """
+        d = np.asarray(self.edt, np.float32)
+        X, Y, Z = d.shape
+        rec = np.zeros((Z, Y, X), dtype=FrameOutput.PAYLOAD8_DTYPE)
+        rec["d"] = d.transpose(2, 1, 0)
+        rec["o"] = (self.glb_type.transpose(2, 1, 0) != 0).astype(np.uint8)
+        origin = np.asarray(self.origin, np.float32)
+        return {
+            "x_size": X, "y_size": Y, "z_size": Z,
+            "x_origin": float(origin[0]),
+            "y_origin": float(origin[1]),
+            "z_origin": float(origin[2]),
+            "width": float(voxel_width),
+            "type": 1,  # CostMap::TYPE_EDT
+            "payload8": rec.tobytes(),
+        }
+
     def local_occupied_cloud(self, voxel_width: float):
         """World positions of occupied window voxels
         (publish_local_ptcld_2_rviz equivalent, volumetric_mapper.h:181-243)."""

@@ -241,3 +241,36 @@ def test_debug_voxel():
     assert info["dist_sq_grids"] == out.dist_sq[i, j, k]
     assert info["glb"] == tuple(np.asarray(info["loc"]) + out.pvt)
     assert out.debug_voxel(np.asarray([99.0, 0.0, 0.0]), cfg.voxel_width) is None
+
+
+def test_cost_map_payload8_bytes():
+    """cost_map_msg reproduces the reference's raw SeenDist memcpy
+    (volumetric_mapper.cpp:206-212): 8-byte records, x-fastest order,
+    d = grid-unit EDT, o = truthy glb_type, s never written (stays 0)."""
+    from gie_mapping_tpu.models.mapper import FrameOutput
+
+    cfg = _small()
+    world = BoxWorld.corridor(seed=3, n_pillars=4, extent=4.0)
+    mapper = VolumetricMapper(cfg)
+    for proj in circular_trajectory(2, radius=1.0):
+        r, tmin, tinc = world.scan_2d(proj, n_beams=180)
+        out = mapper.process_scan2d(proj, r, tmin, tinc)
+
+    msg = out.cost_map_msg(cfg.voxel_width)
+    X, Y, Z = out.edt.shape
+    assert (msg["x_size"], msg["y_size"], msg["z_size"]) == (X, Y, Z)
+    assert msg["type"] == 1
+    assert len(msg["payload8"]) == 8 * X * Y * Z
+
+    rec = np.frombuffer(msg["payload8"], dtype=FrameOutput.PAYLOAD8_DTYPE)
+    # reference linear index: x + y*X + z*X*Y (local_batch.h:168-170)
+    x, y, z = 3, 5, 2
+    i = x + y * X + z * X * Y
+    assert rec["d"][i] == np.float32(out.edt[x, y, z])
+    assert rec["o"][i] == (out.glb_type[x, y, z] != 0)
+    assert not rec["s"].any()
+    # full-array equality in one shot
+    np.testing.assert_array_equal(
+        rec["d"].reshape(Z, Y, X), out.edt.astype(np.float32).transpose(2, 1, 0))
+    np.testing.assert_array_equal(
+        rec["o"].reshape(Z, Y, X), (out.glb_type != 0).transpose(2, 1, 0))

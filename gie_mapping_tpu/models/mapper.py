@@ -118,6 +118,9 @@ class FrameOutput:
             "y_origin": float(origin[1]),
             "z_origin": float(origin[2]),
             "width": float(voxel_width),
+            # carrot fields exist in the msg but setupEDTmsg4Motion never
+            # sets them (volumetric_mapper.cpp:375-389)
+            "x_carrot": 0.0, "y_carrot": 0.0, "z_carrot": 0.0,
             "type": 1,  # CostMap::TYPE_EDT
             "payload8": rec.tobytes(),
         }

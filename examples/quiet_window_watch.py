@@ -26,19 +26,24 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 BUSY = "/tmp/gie_tpu_busy"
 
+# ordered by priority: variant verdicts first (the owed default-flip
+# evidence), then committed-number artifacts, then stage bisects — quiet
+# windows may not outlast the whole list
 PAYLOADS = [
     ("allin_ab", [sys.executable, os.path.join(HERE, "bench_edt_allin_ab.py")],
      {"AB_ROUNDS": "4"}),
     ("env_variants_ab",
      [sys.executable, os.path.join(HERE, "bench_env_variants_ab.py")], {}),
+    # per-case suite + headline: the round's committed numbers from a quiet
+    # window rather than whatever the driver's window gives
+    ("bench_suite", [sys.executable, os.path.join(REPO, "bench_suite.py")], {}),
+    ("bench_headline", [sys.executable, os.path.join(REPO, "bench.py")], {}),
     ("edt_parts", [sys.executable, os.path.join(HERE, "bench_edt_parts.py")],
      {}),
     ("env_efficiency",
      [sys.executable, os.path.join(HERE, "bench_env_efficiency.py")], {}),
-    # the per-case suite + headline, so the round's committed numbers come
-    # from a quiet window rather than whatever the driver's window gives
-    ("bench_suite", [sys.executable, os.path.join(REPO, "bench_suite.py")], {}),
-    ("bench_headline", [sys.executable, os.path.join(REPO, "bench.py")], {}),
+    ("scroll_parts",
+     [sys.executable, os.path.join(HERE, "bench_scroll_parts.py")], {}),
 ]
 
 

@@ -35,6 +35,7 @@ _enable_compile_cache()
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -204,15 +205,40 @@ def main():
 
     _wait_for_backend()
     link_ms = _link_latency() * 1e3
+
+    # quietness context: the standard cow-lady EDT-chain probe (PERF.md §1;
+    # < ~2.5 ms means a judgeable quiet window) recorded per run so suite
+    # artifacts from different throttle windows can be compared honestly
+    def _probe():
+        import subprocess
+        import sys as _sys
+        watch = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "examples", "quiet_window_watch.py")
+        try:
+            out = subprocess.run([_sys.executable, watch, "--probe"],
+                                 capture_output=True, text=True, timeout=1200)
+            return round(float(out.stdout.strip().splitlines()[-1]), 3)
+        except Exception:
+            return None  # JSON null (NaN would be invalid JSON)
+
+    probe_ms = _probe()
+    print(json.dumps({"metric": "suite_quietness_probe", "value": probe_ms,
+                      "unit": "ms",
+                      "quiet": bool(probe_ms is not None and probe_ms < 2.5)}),
+          flush=True)
+
     results = []
     for case in args.cases.split(","):
         r = bench_case(case.strip(), link_ms)
+        r["extra"]["probe_ms"] = probe_ms
         print(json.dumps(r), flush=True)
         results.append(r)
     summary = {"metric": "suite_geomean_vs_baseline",
                "value": round(float(np.exp(np.mean(
                    [np.log(max(r["vs_baseline"], 1e-9)) for r in results]))), 3),
-               "unit": "x", "link_latency_ms": round(link_ms, 2)}
+               "unit": "x", "link_latency_ms": round(link_ms, 2),
+               "probe_ms_start": probe_ms,
+               "probe_ms_end": _probe()}
     print(json.dumps(summary), flush=True)
     if args.out:
         with open(args.out, "a") as f:

@@ -155,12 +155,13 @@ def bench_case(case: str, link_ms: float):
     mw = sum(cfg.canvas_size)
     variant = cfg.edt_env_variant
     p1 = cfg.edt_phase1
+    mid = cfg.edt_mid
 
     @jax.jit
     def edt_chain(g):
         def body(g, _):
             r = batch_edt(g, max_width=mw, env_variant=variant,
-                          p1=p1)["dist_sq"]
+                          p1=p1, mid=mid)["dist_sq"]
             g2 = (g + (r.reshape(-1)[0] % 1).astype(g.dtype)).astype(g.dtype)
             return g2, ()
         g, _ = jax.lax.scan(body, g, None, length=K_EDT)

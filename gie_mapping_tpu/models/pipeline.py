@@ -206,7 +206,7 @@ def merge_frame_impl(
         else:
             full = batch_edt(canvas_type, max_width=sum(canvas_size),
                              env_variant=cfg.edt_env_variant,
-                             p1=cfg.edt_phase1)
+                             p1=cfg.edt_phase1, mid=cfg.edt_mid)
         new_dist = jnp.where(full["valid"], full["dist_sq"], EMPTY_VALUE)
         # cocs are stored canvas-relative (map_state docstring): batch_edt's
         # canvas indices ARE the stored representation
@@ -229,7 +229,8 @@ def merge_frame_impl(
     else:
         # ---- iterative wavefront-equivalent path ("relax") ---------------
         batch = batch_edt(glb_type, max_width=cfg.max_width,
-                          env_variant=cfg.edt_env_variant, p1=cfg.edt_phase1)
+                          env_variant=cfg.edt_env_variant, p1=cfg.edt_phase1,
+                          mid=cfg.edt_mid)
         seed_dist, seed_coc = reconcile_window(
             batch, win(state.dist_sq), win(state.coc), glb_type, win_off,
             local_size

@@ -263,7 +263,9 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = No
     # pass per packed array, and the return to canvas layout packs
     # (dist, coc_z, valid) into one int32 so it is two passes, not three.
     if mid is None:
-        mid = False  # flipped per-shape after on-device A/B (bench_edt_mid_ab)
+        mid = False  # bare-call default; production passes cfg.edt_mid
+        # (True — part of the compiler-audited minimum-traffic chain,
+        # examples/hlo_traffic_audit.py)
     env_mid = None
     if mid and pallas and zmajor and Z > 1:
         from .pallas.envelope import envelope_mid_pallas

@@ -93,7 +93,19 @@ class MapConfig:
     # one packed write instead of the log-depth reduce_window rewrite, and
     # half the phase-2 reshard bytes).  Bit-identical outputs; only a TPU
     # performance choice (the dense CPU fallback always uses XLA phase 1).
-    edt_phase1: str = "xla"
+    # DEFAULT "pallas": together with edt_mid this is the minimum-traffic
+    # "allin" chain — compiler-audited at 0.44-0.45x the default-chain HBM
+    # bytes on every canvas class (examples/hlo_traffic_audit.py,
+    # bench_artifacts/hlo_traffic_audit.jsonl), bit-exact on device
+    # (examples/tpu_sanity.py), neutral-or-better in throttled interleaved
+    # A/Bs (bench_edt_allin_ab).  Revert condition: a quiet-window
+    # (probe < 2.5 ms) A/B showing a regression.
+    edt_phase1: str = "pallas"
+    # transpose-free batched phase 3 (envelope along the middle axis):
+    # removes the [X,Z,Y]->[Z,X,Y] transpose pair between phases 2 and 3.
+    # TPU-only (ignored on CPU and by the sharded path, whose all_to_all
+    # reshard IS the transpose).
+    edt_mid: bool = True
     max_relax_iters: Optional[int] = None  # cap on fixed-point sweeps (None=auto)
     stream_max_blocks: Optional[int] = None  # compaction size for D2H streaming
     stream_k_cols: Optional[int] = None  # per-tick streamed block-column cap

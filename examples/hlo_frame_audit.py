@@ -30,8 +30,10 @@ from gie_mapping_tpu.utils.config import (cow_lady_config, depthcam_config,
 
 CASES = [("cow_lady", cow_lady_config), ("depthcam", depthcam_config),
          ("ugv_corridor", ugv_corridor_config)]
+# both chains spelled out explicitly so the audit still measures the flip
+# even if MapConfig defaults are ever reverted
 CHAINS = {"old_default": dict(edt_phase1="xla", edt_mid=False),
-          "allin (new default)": dict()}
+          "allin (new default)": dict(edt_phase1="pallas", edt_mid=True)}
 
 
 def audit(cfg):
@@ -46,7 +48,11 @@ def audit(cfg):
 
 
 def main():
-    print("backend:", jax.default_backend(), file=sys.stderr)
+    backend = jax.default_backend()
+    print("backend:", backend, file=sys.stderr)
+    assert backend in ("tpu", "axon"), (
+        f"audit requires the TPU backend (got {backend}); the chains compile "
+        "identically under the CPU fallback")
     for name, mk in CASES:
         row, base = {}, None
         for cname, over in CHAINS.items():

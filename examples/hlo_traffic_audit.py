@@ -65,7 +65,13 @@ def audit(shape, kw):
 
 
 def main():
-    print("backend:", jax.default_backend(), file=sys.stderr)
+    backend = jax.default_backend()
+    print("backend:", backend, file=sys.stderr)
+    # on CPU the pallas gates make every variant compile the identical dense
+    # program — the ratios would read ~1.0 and mean nothing
+    assert backend in ("tpu", "axon"), (
+        f"audit requires the TPU backend (got {backend}); ratios are "
+        "meaningless under the CPU fallback")
     for name, shape in CASES:
         base = None
         row = {}

@@ -65,7 +65,11 @@ def test_phase1_packed_matches_xla(interp, shape):
 
 @pytest.mark.parametrize("kw", [dict(), dict(mid=True),
                                 dict(env_variant="cf"),
-                                dict(env_variant="fusepay")])
+                                dict(env_variant="fusepay"),
+                                # the production-default triple (allin):
+                                # cfg.edt_phase1="pallas" + edt_mid +
+                                # env_variant="fusepay"
+                                dict(mid=True, env_variant="fusepay")])
 def test_batch_edt_p1_pallas_matches(interp, kw):
     shape = (24, 20, 12)
     occ = _rand_occ(shape, 0.04, seed=31)

@@ -90,6 +90,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--probe", action="store_true", help="one probe, print ms")
     ap.add_argument("--threshold", type=float, default=2.5)
+    ap.add_argument("--semi-threshold", type=float, default=4.0,
+                    help="probe below this (but above --threshold) fires ONE "
+                    "allin A/B capture (semi-quiet tier), then keeps waiting")
     ap.add_argument("--interval", type=float, default=600.0, help="seconds")
     ap.add_argument("--max-hours", type=float, default=8.0)
     args = ap.parse_args()
@@ -118,8 +121,24 @@ def main():
             time.sleep(args.interval)
             continue
         quiet = ms < args.threshold
+        semi = (not quiet) and ms < args.semi_threshold
         print(f"[watch] cycle {cycle}: probe {ms:.2f} ms "
-              f"({'QUIET' if quiet else 'throttled'})", flush=True)
+              f"({'QUIET' if quiet else 'semi-quiet' if semi else 'throttled'})",
+              flush=True)
+        if semi and not getattr(main, "_semi_done", False):
+            # semi-quiet: grab the highest-priority verdict once, keep waiting
+            main._semi_done = True
+            ts = time.strftime("%Y%m%d_%H%M%S")
+            art = os.path.join(REPO, "bench_artifacts", f"semiquiet_{ts}")
+            os.makedirs(art, exist_ok=True)
+            with open(os.path.join(art, "probe_ms.txt"), "w") as f:
+                f.write(f"{ms:.3f}\n")
+            name, cmd, env_extra = PAYLOADS[0]
+            print(f"[watch] semi-quiet: running {name} ...", flush=True)
+            with open(os.path.join(art, name + ".txt"), "w") as f:
+                subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
+                               env=dict(os.environ, **env_extra), timeout=3600)
+            print(f"[watch] semi-quiet capture in {art}", flush=True)
         if not quiet:
             time.sleep(args.interval)
             continue

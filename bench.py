@@ -168,6 +168,13 @@ def main():
             "rays_per_frame": N_RAYS,
             "passes": len(per_pass),
             "throttle_retries": retries,
+            # explicit window label: a value above QUIET_MS means the shared
+            # tunnel stayed throttled through the whole retry budget — compare
+            # against quiet-window captures in bench_artifacts/, not across
+            # windows (CLAUDE.md / docs/PERF.md §1)
+            "window": "quiet" if per_frame_ms <= QUIET_MS else
+                      f"throttled (no window below {QUIET_MS} ms within "
+                      f"{int(retry_budget)} s)",
         },
     }))
 

@@ -130,6 +130,10 @@ def main():
         ("thin 2.5-D 96x96x8", (96, 96, 8), 0, 8, 0.02),
         ("sparse tall 120x120x128", (120, 120, 128), 100, 120, 0.003),
         ("empty canvas 64x64x32", (64, 64, 32), 0, 1, 0.0),
+        # true 2-D grid (Z==1): exercises the compiled phase-3-skip branch
+        # of batch_edt (the reference's 2-D map mode, local_edt.cu:16-19);
+        # the mid/p1 gates no-op at Z==1 so every variant hits this path
+        ("flat 2-D 128x128x1", (128, 128, 1), 0, 1, 0.02),
     ]
     for name, shape, zlo, zhi, frac in cases:
         glb = jnp.asarray(make_glb(shape, zlo, zhi, frac, seed=3))

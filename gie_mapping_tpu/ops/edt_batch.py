@@ -274,10 +274,22 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = No
             f, payloads, packed_out=True, **vkw)
     env_packed = None
     if p1 == "pallas" and pallas and zmajor and Z > 1:
-        from .pallas.envelope import envelope_packed_pallas
+        from .pallas.phase1 import phase1_fits
 
-        env_packed = lambda f, yb: envelope_packed_pallas(
-            f, yb, packed_out=True, **vkw)
+        if phase1_fits(Y):
+            from .pallas.envelope import envelope_packed_pallas
+
+            env_packed = lambda f, yb: envelope_packed_pallas(
+                f, yb, packed_out=True, **vkw)
+        else:
+            # packed word out of bits for this extent (Y > 1024): the packed
+            # scan is a traffic optimisation, not a capability — degrade to
+            # the XLA phase 1 rather than erroring on the default config
+            import warnings
+
+            warnings.warn(
+                f"edt_phase1='pallas' needs Y <= 1024 (got {Y}); "
+                "falling back to the XLA phase 1", stacklevel=2)
     elif p1 != "xla" and p1 != "pallas":
         raise ValueError(f"unknown p1 variant {p1!r}; valid: xla, pallas")
     if zmajor and Z > 1:
@@ -388,10 +400,19 @@ def batch_edt_sharded(glb_type, max_width: int, mesh, chunk: int = 8,
                                                  chunk=chunk, packed_out=True)
     env_packed = None
     if p1 == "pallas" and pallas:
-        from .pallas.envelope import envelope_packed_pallas
+        from .pallas.phase1 import phase1_fits
 
-        env_packed = lambda f, yb: envelope_packed_pallas(
-            f, yb, packed_out=True, **vkw)
+        if phase1_fits(Y):
+            from .pallas.envelope import envelope_packed_pallas
+
+            env_packed = lambda f, yb: envelope_packed_pallas(
+                f, yb, packed_out=True, **vkw)
+        else:
+            import warnings
+
+            warnings.warn(
+                f"edt_phase1='pallas' needs Y <= 1024 (got {Y}); "
+                "falling back to the XLA phase 1", stacklevel=2)
     elif p1 != "xla" and p1 != "pallas":
         raise ValueError(f"unknown p1 variant {p1!r}; valid: xla, pallas")
 

@@ -34,6 +34,14 @@ LANES = 128
 XB = 8  # x rows per program: one [XB, y, 128] vreg slab per scan step
 
 
+def phase1_fits(Y: int) -> bool:
+    """True iff the packed word has room: g1sq needs 2*yb bits, coc_y yb,
+    valid 1 (Y <= 1024).  batch_edt falls back to the XLA phase 1 when
+    False — the packed scan is a performance default, not a capability."""
+    yb = (Y - 1).bit_length() if Y > 1 else 1
+    return 3 * yb + 1 <= 31
+
+
 def phase1_pack_bits(Y: int) -> int:
     """yb such that packed = (g1sq << (yb+1)) | (coc_y << 1) | valid; the
     single source of truth shared with the envelope unpack (packed_yb)."""

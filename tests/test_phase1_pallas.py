@@ -106,3 +106,19 @@ def test_phase1_pack_bits_limit():
     with pytest.raises(ValueError):
         p1_mod.phase1_pack_bits(1025)
     assert p1_mod.phase1_pack_bits(1024) == 10
+
+
+def test_p1_pallas_falls_back_beyond_pack_budget(interp):
+    """Y > 1024 exceeds the packed word's bit budget: batch_edt must warn and
+    degrade to the XLA phase 1 (the packed scan is a default, not a
+    capability), staying exact."""
+    shape = (4, 1030, 4)
+    occ = _rand_occ(shape, 0.01, seed=7)
+    glb = jnp.asarray(np.where(occ, 2, 0).astype(np.int8))
+    mw = sum(shape)
+    ref = batch_edt(glb, max_width=mw, pallas=False)
+    with pytest.warns(UserWarning, match="Y <= 1024"):
+        got = batch_edt(glb, max_width=mw, pallas=True, p1="pallas")
+    for k in ("dist_sq", "coc", "valid"):
+        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(got[k]),
+                                      err_msg=k)

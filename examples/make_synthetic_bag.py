@@ -27,14 +27,15 @@ POSE_TOPIC = "/kinect/vrpn_client/estimated_transform"
 
 
 def make_bag(path, n_frames=60, n_rays=16384, hz=10.0, pose_hz=100.0,
-             seed=0, chunk_messages=200):
+             seed=0, chunk_messages=200, compression="bz2"):
     from gie_mapping_tpu.runtime import rosbag_writer as w
     from gie_mapping_tpu.runtime.datasets import BoxWorld, circular_trajectory
     from gie_mapping_tpu.utils import geometry as geo
 
     world = BoxWorld.corridor(seed=seed, n_pillars=8, extent=4.0, height=2.5)
     poses = circular_trajectory(n_frames=n_frames, radius=1.5, height=1.2)
-    bag = w.BagWriter(chunk_messages=chunk_messages)
+    bag = w.BagWriter(chunk_messages=chunk_messages,
+                      compression=compression)
     t0 = 1600000000.0
     # vicon poses at pose_hz (linear interpolation between frame poses)
     n_pose = int(n_frames * pose_hz / hz)
@@ -61,12 +62,16 @@ def main():
     ap.add_argument("out", help="output .bag path")
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--rays", type=int, default=16384)
+    ap.add_argument("--compression", default="bz2",
+                    choices=("none", "bz2", "lz4"),
+                    help="chunk compression (lz4 = pure-python runtime/lz4f)")
     ap.add_argument("--run", action="store_true",
                     help="convert + replay in-process after writing")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
-    n = make_bag(args.out, n_frames=args.frames, n_rays=args.rays)
+    n = make_bag(args.out, n_frames=args.frames, n_rays=args.rays,
+                 compression=args.compression)
     size_mb = os.path.getsize(args.out) / 1e6
     print(f"wrote {args.out}: {n} messages, {size_mb:.1f} MB "
           f"({args.frames} cloud frames @10 Hz + poses @100 Hz)")

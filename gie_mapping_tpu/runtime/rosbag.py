@@ -59,12 +59,19 @@ def _parse_header(buf: bytes) -> dict:
 def _records(buf: bytes, off: int = 0) -> Iterator[tuple[dict, bytes]]:
     n = len(buf)
     while off < n:
-        (hlen,) = _U32.unpack_from(buf, off)
-        off += 4
-        hdr = _parse_header(buf[off:off + hlen])
-        off += hlen
-        (dlen,) = _U32.unpack_from(buf, off)
-        off += 4
+        try:
+            (hlen,) = _U32.unpack_from(buf, off)
+            off += 4
+            if off + hlen > n:
+                raise ValueError("record header runs past end of data")
+            hdr = _parse_header(buf[off:off + hlen])
+            off += hlen
+            (dlen,) = _U32.unpack_from(buf, off)
+            off += 4
+            if off + dlen > n:
+                raise ValueError("record data runs past end of data")
+        except (struct.error, IndexError) as e:
+            raise ValueError(f"corrupt rosbag record at offset {off}: {e}") from e
         yield hdr, buf[off:off + dlen]
         off += dlen
 
@@ -98,6 +105,8 @@ def read_bag(path) -> Iterator[BagMessage]:
     conns: dict[int, Connection] = {}
 
     def handle(hdr: dict, body: bytes) -> Iterator[BagMessage]:
+        if "op" not in hdr or not hdr["op"]:
+            raise ValueError("rosbag record without an 'op' header field")
         op = hdr["op"][0]
         if op == OP_CONNECTION:
             cid = _U32.unpack(hdr["conn"])[0]
@@ -108,6 +117,10 @@ def read_bag(path) -> Iterator[BagMessage]:
         elif op == OP_MSG:
             cid = _U32.unpack(hdr["conn"])[0]
             secs, nsecs = struct.unpack("<II", hdr["time"])
+            if cid not in conns:
+                raise ValueError(
+                    f"message record references unknown connection {cid} "
+                    "(connection record missing or out of order)")
             c = conns[cid]
             yield BagMessage(c.topic, c.msg_type, secs + nsecs * 1e-9, body)
         elif op == OP_CHUNK:
@@ -118,14 +131,14 @@ def read_bag(path) -> Iterator[BagMessage]:
                 inner = bz2.decompress(body)
             elif comp == "lz4":
                 try:
-                    import lz4.frame  # optional; not in every image
-                except ImportError as e:  # pragma: no cover
-                    raise RuntimeError(
-                        "bag uses lz4 chunks and python-lz4 is unavailable; "
-                        "re-record with --bz2 or install lz4"
-                    ) from e
-                inner = lz4.frame.decompress(body)  # pragma: no cover
-            else:  # pragma: no cover
+                    import lz4.frame  # native wheel when available (faster)
+
+                    inner = lz4.frame.decompress(body)  # pragma: no cover
+                except ImportError:
+                    from .lz4f import decompress  # pure-python fallback
+
+                    inner = decompress(body)
+            else:
                 raise ValueError(f"unknown chunk compression {comp!r}")
             for h2, b2 in _records(inner):
                 yield from handle(h2, b2)

@@ -46,7 +46,16 @@ def msg_record(cid: int, t: float, body: bytes) -> bytes:
 
 
 def chunk_record(records: bytes, compression: str = "none") -> bytes:
-    payload = records if compression == "none" else bz2.compress(records)
+    if compression == "none":
+        payload = records
+    elif compression == "bz2":
+        payload = bz2.compress(records)
+    elif compression == "lz4":  # LZ4 frame format, as roslz4 writes
+        from .lz4f import compress
+
+        payload = compress(records)
+    else:
+        raise ValueError(f"unknown chunk compression {compression!r}")
     return _rec({"op": b"\x05", "compression": compression.encode(),
                  "size": struct.pack("<I", len(records))}, payload)
 

@@ -29,6 +29,30 @@ def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
+# Dense-canvas propagation bound (voxels).  Beyond this halo the per-frame
+# dense sweep cost dominates; cutoffs above it are narrowed (loudly — see
+# CutoffNarrowedWarning) to the resident canvas.
+MAX_HALO_GRIDS = 96
+
+
+class CutoffNarrowedWarning(UserWarning):
+    """cutoff_dist exceeds the dense-canvas halo bound: EDT propagation
+    beyond the resident canvas is narrowed.
+
+    Reference semantics (what is being narrowed): with fast_mode OFF, the
+    raise/lower-outside wavefronts walk the allocated hash blocks up to
+    cutoff_grids_sq with no window bound
+    (/root/reference/src/kernel/par_wave/wave_core.cuh:125-126,259-262).
+    Here propagation reaches min(cutoff, MAX_HALO_GRIDS) voxels beyond the
+    window (the canvas halo); blocks archived out of the canvas keep their
+    stored (dist, coc) until they scroll back in, where the canvas EDT
+    refreshes them the same frame.  All shipped presets keep cutoff within
+    the halo (or run fast_mode, whose reference wave is window-bounded —
+    wave_core.cuh:370 `is_inside_local_volume` — so nothing is narrowed);
+    only custom configs can trigger this.  Pinned by
+    tests/test_long_cutoff.py."""
+
+
 @dataclasses.dataclass(frozen=True)
 class MapConfig:
     """All static parameters of one mapping case."""
@@ -132,6 +156,20 @@ class MapConfig:
         if self.edt_phase1 not in ("xla", "pallas"):
             raise ValueError(f"edt_phase1 {self.edt_phase1!r} not in "
                              "('xla', 'pallas')")
+        if not self.fast_mode:
+            cutoff = int(math.ceil(self.cutoff_dist / self.voxel_width))
+            if cutoff > MAX_HALO_GRIDS:
+                import warnings
+
+                warnings.warn(
+                    f"cutoff_dist={self.cutoff_dist} m is "
+                    f"{cutoff} voxels at width={self.voxel_width} m — beyond "
+                    f"the {MAX_HALO_GRIDS}-voxel dense-canvas halo "
+                    f"({MAX_HALO_GRIDS * self.voxel_width:.2f} m): EDT "
+                    "propagation outside the canvas is narrowed; archived "
+                    "blocks keep stale (dist, coc) until they re-enter "
+                    "(docs/PARITY.md divergence 6)",
+                    CutoffNarrowedWarning, stacklevel=2)
 
     # ---- derived static geometry -------------------------------------
     @property
@@ -174,9 +212,11 @@ class MapConfig:
         if self.fast_mode:
             return VB_WIDTH  # one block ring: read-only boundary seeds
         cutoff = int(math.ceil(self.cutoff_dist / self.voxel_width))
-        # bound the dense canvas; beyond ~96 voxels of halo the dense sweep
-        # cost dominates and the cutoff semantics are preserved by clamping
-        return min(cutoff, 96)
+        # bound the dense canvas: beyond MAX_HALO_GRIDS of halo the dense
+        # sweep cost dominates.  Narrowing a larger cutoff is LOUD
+        # (CutoffNarrowedWarning at construction) and the staleness contract
+        # is pinned by tests/test_long_cutoff.py.
+        return min(cutoff, MAX_HALO_GRIDS)
 
     @property
     def canvas_blocks(self) -> Tuple[int, int, int]:

@@ -120,6 +120,82 @@ def check_scroll_stream():
     return fails + (not ok)
 
 
+def check_edt_slab():
+    """Compiled batch_edt_slab (the change-gated EDT's restricted transform)
+    vs full batch_edt on the allin chain — slab outputs must be bit-exact on
+    device for every canvas class the gate serves."""
+    from gie_mapping_tpu.ops.edt_batch import batch_edt, batch_edt_slab
+
+    fails = 0
+    for name, shape, zlo, zhi, frac, (x0, y0, sx, sy) in [
+        ("cow-slab 152x152x80", (152, 152, 80), 20, 45, 0.03, (40, 48, 56, 56)),
+        ("depthcam-slab 232x232x160", (232, 232, 160), 40, 90, 0.005,
+         (64, 88, 88, 88)),
+        ("edge-slab 96x96x8", (96, 96, 8), 0, 8, 0.02, (64, 0, 32, 40)),
+    ]:
+        glb = jnp.asarray(make_glb(shape, zlo, zhi, frac, seed=9))
+        mw = sum(shape)
+        full = batch_edt(glb, max_width=mw, pallas=True, p1="pallas",
+                         mid=True, env_variant="fusepay")
+        slab = batch_edt_slab(glb, jnp.int32(x0), jnp.int32(y0), sx=sx,
+                              sy=sy, max_width=mw, pallas=True, p1="pallas",
+                              mid=True, env_variant="fusepay")
+        ok = all(np.array_equal(np.asarray(slab[k]),
+                                np.asarray(full[k])[x0:x0 + sx, y0:y0 + sy])
+                 for k in ("dist_sq", "coc", "valid"))
+        print(f"{name}: slab==full {ok}")
+        fails += not ok
+    return fails
+
+
+def check_gated_merge():
+    """Compiled change-gated merge (cfg.edt_gate) vs the ungated path: a
+    short cow-class frame sequence with scrolls and obstacle churn must be
+    bitwise identical in every state field and output."""
+    import dataclasses as _dc
+
+    from gie_mapping_tpu.map_state import MapState, canvas_geometry
+    from gie_mapping_tpu.models.pipeline import merge_frame
+    from gie_mapping_tpu.utils.config import cow_lady_config
+
+    rng = np.random.default_rng(5)
+    results = []
+    for gate in (False, True):
+        cfg = cow_lady_config(display_glb_edt=False, display_glb_ogm=False,
+                              edt_gate=gate)
+        g = MapState.create(cfg)
+        M = cfg.max_ext_obs
+        fence = (jnp.zeros((M, 3), jnp.float32), jnp.zeros((M, 3), jnp.float32),
+                 jnp.zeros((M,), jnp.bool_), jnp.int32(0))
+        rng = np.random.default_rng(5)
+        snap = []
+        for i, pvt in enumerate([[0, 0, 0], [0, 0, 0], [8, 0, 0], [8, 8, 0]]):
+            inst = np.full(cfg.local_size, 1, np.int8)
+            n = int(rng.integers(2, 30))
+            ii = rng.integers(0, cfg.local_size[0], n)
+            jj = rng.integers(0, cfg.local_size[1], n)
+            kk = rng.integers(0, cfg.local_size[2], n)
+            inst[ii, jj, kk] = 2
+            pvt = np.asarray(pvt, np.int32)
+            origin_blk, _, off = canvas_geometry(cfg, pvt)
+            g, out = merge_frame(
+                g, jnp.asarray(inst), jnp.zeros(cfg.local_size, jnp.int32),
+                jnp.asarray(pvt), jnp.asarray(origin_blk), jnp.asarray(off),
+                *fence, cfg=cfg, input_pointcloud=False)
+            snap.append((np.asarray(g.dist_sq), np.asarray(g.coc),
+                         np.asarray(g.vox_type), np.asarray(out["edt"]),
+                         np.asarray(out["changed_blk"]),
+                         int(out["gate_level"])))
+        results.append(snap)
+    ok = True
+    for i, (a, b) in enumerate(zip(*results)):
+        for j in range(5):
+            ok &= np.array_equal(a[j], b[j])
+    levels = [s[5] for s in results[1]]
+    print(f"gated merge == ungated (4 cow frames): {ok}  levels={levels}")
+    return int(not ok)
+
+
 def main():
     from gie_mapping_tpu.ops.edt_batch import batch_edt
 
@@ -181,6 +257,8 @@ def main():
     print("scipy dist_sq equality:", ok)
     failures += not ok
 
+    failures += check_edt_slab()
+    failures += check_gated_merge()
     failures += check_carve()
     failures += check_scroll_stream()
 

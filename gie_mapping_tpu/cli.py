@@ -115,6 +115,9 @@ def main():
     ap.add_argument("--mid", choices=["on", "off"], default=None,
                     help="override cfg.edt_mid (transpose-free batched "
                          "phase 3; TPU-only)")
+    ap.add_argument("--gate", choices=["on", "off"], default=None,
+                    help="override cfg.edt_gate (change-gated canvas EDT: "
+                         "recompute only the affected slab per frame)")
     ap.add_argument("--batch", type=int, default=0, metavar="K",
                     help="scanned-replay mode: dispatch frames as lax.scan "
                          "chunks of K (process_*_batch; bit-identical to the "
@@ -147,6 +150,8 @@ def main():
         cfg = cfg.replace(edt_phase1=args.phase1)
     if args.mid is not None:
         cfg = cfg.replace(edt_mid=(args.mid == "on"))
+    if args.gate is not None:
+        cfg = cfg.replace(edt_gate=(args.gate == "on"))
     if args.batch and args.profile:
         # the RMSE ground-truth checker needs per-frame host data, which the
         # scanned replay doesn't surface — profile runs stay per-frame

@@ -40,7 +40,7 @@ class FrameOutput:
     """
 
     _LAZY = ("edt", "glb_type", "dist_sq", "coc", "relax_iters", "fnt_count",
-             "arch_dropped")
+             "arch_dropped", "gate_level", "gate_slab_vox")
 
     def __init__(self, raw: dict, origin, pvt):
         self._raw = raw

@@ -43,6 +43,231 @@ from ..utils.constants import (
 )
 
 
+def _slab_menu(canvas_size):
+    """Static (SX, SY) slab-size ladder for the change-gated EDT: ~3/16,
+    3/8 and 5/8 of the canvas per axis (multiples of 8, ascending).  The
+    fractions come from the measured affected-slab distributions
+    (examples/probe_gate_slab.py): depthcam-class frames need ~0.25-0.30,
+    cow-class steady state ~0.58-0.60; anything larger takes the full
+    branch."""
+    X, Y, _ = canvas_size
+    r8 = lambda v, n: min(-(-v // 8) * 8, n)
+    menu = []
+    for num, den in ((3, 16), (3, 8), (5, 8)):
+        sx, sy = r8(X * num // den, X), r8(Y * num // den, Y)
+        if (sx, sy) not in menu and sx < X and sy < Y:
+            menu.append((sx, sy))
+    return menu
+
+
+def _axis_lohi(mask1d, n):
+    """(first, last) true index of a bool [n] (sentinels (n, -1) if none)."""
+    idx = jnp.arange(n, dtype=jnp.int32)
+    lo = jnp.min(jnp.where(mask1d, idx, n))
+    hi = jnp.max(jnp.where(mask1d, idx, -1))
+    return lo, hi
+
+
+def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
+                        old_type_win, win_off, window_mask,
+                        present_vox_canvas, enter_shift, *, cfg: MapConfig):
+    """Change-gated exact canvas EDT (round 3, VERDICT r2 item 1).
+
+    Per frame, the set of voxels whose stored (dist, coc) can differ from
+    the previous frame's is bounded by the AFFECTED REGION
+
+        aff = chg  ∪  { v observed : box_dist²(v, Δboxes) <= state.dist²(v) }
+
+    where chg = this frame's occupancy-type flips (site appears/disappears,
+    UNKNOWN transitions — all inside the window) and Δboxes = the bbox of
+    the site flips plus the slabs entering on a scroll.  Proof sketch (the
+    full case analysis lives in tests/test_edt_gate.py's property tests):
+    a new site can only improve v if it is closer than v's stored value;
+    a removed site only affects v if it WAS v's closest (distance = stored
+    value); stored values are exact-or-kept-memory by induction; the one
+    exception — observed voxels whose stored pair went stale through a
+    zero-site epoch — forces the full branch (any-site guard below).
+
+    The exact EDT then recomputes only the bounding slab of `aff`
+    (batch_edt_slab: lanes sliced, sites complete — bit-identical on the
+    slab), splicing unchanged state through with an in-place
+    dynamic_update_slice; a lax.switch picks the smallest static slab from
+    _slab_menu that covers it (full recompute otherwise).  All outputs are
+    bit-identical to the ungated path (tests/test_edt_gate.py).
+
+    Matches the reference's incremental property — wavefronts touch only
+    frontier-reachable voxels (glb_hash_map.cu:146-207) — at the batch
+    EDT's exactness (local_edt_core.h:14-193).
+
+    Returns (final_dist, final_coc, dist_win, coc_win, changed_blk_dist,
+    gate_level, slab_vox)."""
+    from ..ops.edt_batch import batch_edt_slab, batch_edt
+    from ..utils.constants import VOX_OCCUPIED
+
+    canvas_size = cfg.canvas_size
+    local_size = cfg.local_size
+    X, Y, Z = canvas_size
+    cs_arr = jnp.asarray(canvas_size, jnp.int32)
+    menu = _slab_menu(canvas_size)
+    n_menu = len(menu)
+
+    # ---- Δ: occupancy flips + UNKNOWN transitions (window-sized) ---------
+    site_flip = (old_type_win == VOX_OCCUPIED) != (new_type_win == VOX_OCCUPIED)
+    unk_flip = (old_type_win == VOX_UNKNOWN) != (new_type_win == VOX_UNKNOWN)
+    chg = site_flip | unk_flip
+
+    # site-flip bbox (canvas coords); dead box when no flips
+    flo, fhi = [], []
+    for a in range(3):
+        ax = tuple(i for i in range(3) if i != a)
+        lo, hi = _axis_lohi(jnp.any(site_flip, axis=ax), local_size[a])
+        flo.append(lo + win_off[a])
+        fhi.append(hi + win_off[a])
+    boxes_lo = [jnp.stack(flo)]
+    boxes_hi = [jnp.stack(fhi)]
+    boxes_dead = [~jnp.any(site_flip)]
+
+    # entering slabs on scroll frames (geometric: positions re-entering the
+    # canvas — covers restored-archive sites AND re-entering stale cocs)
+    for a in range(3):
+        s = enter_shift[a]
+        lo = jnp.asarray([0, 0, 0], jnp.int32).at[a].set(
+            jnp.where(s > 0, cs_arr[a] - s, 0))
+        hi = (cs_arr - 1).at[a].set(
+            jnp.where(s > 0, cs_arr[a] - 1, -s - 1))
+        boxes_lo.append(lo)
+        boxes_hi.append(hi)
+        boxes_dead.append(s == 0)
+
+    # ---- P pass: one fused read of dist_sq + canvas_type ----------------
+    big = jnp.int32(1 << 30)
+    bd = None
+    for lo, hi, dead in zip(boxes_lo, boxes_hi, boxes_dead):
+        parts = []
+        for a, n in enumerate(canvas_size):
+            idx = jnp.arange(n, dtype=jnp.int32)
+            d = jnp.maximum(jnp.maximum(lo[a] - idx, idx - hi[a]), 0)
+            d = jnp.minimum(d, jnp.int32(n))  # dead-box sentinel safety
+            parts.append(d * d)
+        b = (parts[0][:, None, None] + parts[1][None, :, None]
+             + parts[2][None, None, :])
+        b = jnp.where(dead, big, b)
+        bd = b if bd is None else jnp.minimum(bd, b)
+
+    observed_canvas = canvas_type != VOX_UNKNOWN
+    P = observed_canvas & (bd <= state.dist_sq)
+    if cfg.fast_mode:
+        # fast_mode write-back is window-gated (reference lower_inside is
+        # window-bounded): out-of-window voxels never change
+        P = P & window_mask
+    aff = P | _uncrop(jnp.zeros(canvas_size, jnp.bool_), chg, win_off)
+
+    # zero-site epochs invalidate the induction (stored pairs survive the
+    # no-obstacle frames unrefreshed): force the full branch around them
+    any_site_new = jnp.any(canvas_type == VOX_OCCUPIED)
+    any_site_old = jnp.any(old_type == VOX_OCCUPIED)
+    force_full = ~(any_site_new & any_site_old)
+
+    x0, x1 = _axis_lohi(jnp.any(aff, axis=(1, 2)), X)
+    y0, y1 = _axis_lohi(jnp.any(aff, axis=(0, 2)), Y)
+    need_x = jnp.maximum(x1 - x0 + 1, 0)
+    need_y = jnp.maximum(y1 - y0 + 1, 0)
+
+    sel = jnp.int32(n_menu)  # full
+    for k in range(n_menu - 1, -1, -1):
+        fits = (need_x <= menu[k][0]) & (need_y <= menu[k][1])
+        sel = jnp.where(fits, jnp.int32(k), sel)
+    sel = jnp.where(force_full, jnp.int32(n_menu), sel)
+
+    # ---- branches --------------------------------------------------------
+    ekw = dict(max_width=sum(canvas_size), env_variant=cfg.edt_env_variant,
+               p1=cfg.edt_phase1)
+
+    def finalize_slab(dist_state_s, coc_state_s, slab, obs_s, pres_s, win_s):
+        """keep_old + take select on slab crops (the slab-local mirror of
+        the full branch's selects)."""
+        new_dist = jnp.where(slab["valid"], slab["dist_sq"], EMPTY_VALUE)
+        new_coc = jnp.where(slab["valid"][..., None],
+                            slab["coc"].astype(jnp.int16), COC_INVALID16)
+        old_rel = coc_state_s.astype(jnp.int32)
+        old_valid = coc_state_s[..., 0] != COC_INVALID16
+        old_in_canvas = jnp.all((old_rel >= 0) & (old_rel < cs_arr), -1)
+        keep_old = old_valid & ~old_in_canvas & (dist_state_s < new_dist)
+        dist_s = jnp.where(keep_old, dist_state_s, new_dist)
+        coc_s = jnp.where(keep_old[..., None], coc_state_s, new_coc)
+        take = win_s & obs_s & pres_s & (dist_s != EMPTY_VALUE)
+        if not cfg.fast_mode:
+            take = take | (obs_s & ~win_s)
+        fin_d = jnp.where(take, dist_s, dist_state_s)
+        fin_c = jnp.where(take[..., None], coc_s, coc_state_s)
+        return fin_d, fin_c, dist_s, coc_s
+
+    def make_gated(SX, SY):
+        def branch(ops):
+            dist_state, coc_state, ctype, pvox, bx0, by0, woff = ops
+            ox = jnp.clip(bx0 // 8 * 8, 0, X - SX)
+            oy = jnp.clip(by0 // 8 * 8, 0, Y - SY)
+            slab = batch_edt_slab(ctype, ox, oy, sx=SX, sy=SY,
+                                  mid=cfg.edt_mid, **ekw)
+            sl = lambda a: jax.lax.dynamic_slice(
+                a, (ox, oy, 0) + (0,) * (a.ndim - 3),
+                (SX, SY, Z) + a.shape[3:])
+            # window mask on slab coords (the slab may cover any part of it)
+            si = [jax.lax.broadcasted_iota(jnp.int32, (SX, SY, Z), a)
+                  + jnp.stack([ox, oy, jnp.int32(0)])[a] for a in range(3)]
+            win_s = ((si[0] >= woff[0]) & (si[0] < woff[0] + local_size[0])
+                     & (si[1] >= woff[1]) & (si[1] < woff[1] + local_size[1])
+                     & (si[2] >= woff[2]) & (si[2] < woff[2] + local_size[2]))
+            dist_state_s = sl(dist_state)
+            coc_state_s = sl(coc_state)
+            # (the pre-take crops equal the final crops on every voxel the
+            # observed-masked outputs expose — gated branches only run when
+            # sites exist; see the zero-site force-full guard)
+            fin_d, fin_c, _, _ = finalize_slab(
+                dist_state_s, coc_state_s, slab,
+                sl(ctype) != VOX_UNKNOWN, sl(pvox), win_s)
+            final_dist = jax.lax.dynamic_update_slice(dist_state, fin_d,
+                                                      (ox, oy, 0))
+            final_coc = jax.lax.dynamic_update_slice(coc_state, fin_c,
+                                                     (ox, oy, 0, 0))
+            chg_blk = jnp.any(
+                (fin_d != dist_state_s).reshape(SX // 8, 8, SY // 8, 8,
+                                                Z // 8, 8), axis=(1, 3, 5))
+            changed = jax.lax.dynamic_update_slice(
+                jnp.zeros(cfg.canvas_blocks, jnp.bool_), chg_blk,
+                (ox // 8, oy // 8, 0))
+            dist_win = _crop(final_dist, woff, local_size)
+            coc_win = _crop(final_coc, woff, local_size)
+            return (final_dist, final_coc, dist_win, coc_win, changed,
+                    jnp.int32(SX * SY * Z))
+        return branch
+
+    def full_branch(ops):
+        dist_state, coc_state, ctype, pvox, _bx0, _by0, woff = ops
+        full = batch_edt(ctype, mid=cfg.edt_mid, **ekw)
+        win_s = window_mask
+        fin_d, fin_c, dist_pre, coc_pre = finalize_slab(
+            dist_state, coc_state, full, ctype != VOX_UNKNOWN, pvox, win_s)
+        changed = jnp.any(
+            (fin_d != dist_state).reshape(
+                X // 8, 8, Y // 8, 8, Z // 8, 8), axis=(1, 3, 5))
+        # the full branch covers the zero-site frames, where pre-take and
+        # final window values can differ at observed voxels: report the
+        # TRUE pre-take crops (exactly the ungated path's dist_win)
+        dist_win = _crop(dist_pre, woff, local_size)
+        coc_win = _crop(coc_pre, woff, local_size)
+        return (fin_d, fin_c, dist_win, coc_win, changed,
+                jnp.int32(X * Y * Z))
+
+    branches = [make_gated(sx, sy) for sx, sy in menu] + [full_branch]
+    ops = (state.dist_sq, state.coc, canvas_type, present_vox_canvas,
+           x0, y0, win_off)
+    (final_dist, final_coc, dist_win, coc_win, changed_blk_d,
+     slab_vox) = jax.lax.switch(sel, branches, ops)
+    return (final_dist, final_coc, dist_win, coc_win, changed_blk_d,
+            sel, slab_vox)
+
+
 def _crop(arr, off, shape):
     """dynamic_slice window crop of a canvas array (trailing dims kept)."""
     extra = arr.shape[3:]
@@ -67,6 +292,10 @@ def merge_frame_impl(
     points=None,        # [N,3] float32 world-frame endpoints (fused raycast)
     pts_valid=None,     # [N] bool
     sensor_origin=None, # (3,) float32
+    enter_shift=None,   # int32 [3] this frame's scroll shift in VOXELS (the
+                        # change-gated EDT's entering-slab boxes); zeros/None
+                        # on non-scroll frames.  Computed internally when
+                        # do_scroll=True.
     *,
     cfg: MapConfig,
     input_pointcloud: bool,
@@ -91,6 +320,8 @@ def merge_frame_impl(
 
     # ---- scroll the resident canvas to this frame's origin --------------
     if do_scroll:
+        if enter_shift is None:
+            enter_shift = (canvas_origin_blk - state.origin_blk) * VB_WIDTH
         state = scroll_canvas(state, canvas_origin_blk, cfg)
     canvas_origin_vox = canvas_origin_blk * VB_WIDTH
 
@@ -185,7 +416,19 @@ def merge_frame_impl(
     observed_canvas = canvas_type != VOX_UNKNOWN
     outside_observed = observed_canvas & ~window_mask
 
-    if cfg.merge_mode == "canvas_edt":
+    gated = None
+    if cfg.merge_mode == "canvas_edt" and cfg.edt_gate and mesh is None \
+            and canvas_size[2] > 1 and _slab_menu(canvas_size):
+        # ---- change-gated exact canvas EDT (see _gated_canvas_merge) -----
+        if enter_shift is None:
+            enter_shift = jnp.zeros(3, jnp.int32)
+        gated = _gated_canvas_merge(
+            state, canvas_type, old_type, new_type_win, old_type_win,
+            win_off, window_mask, present_vox_canvas, enter_shift, cfg=cfg)
+        (final_dist, final_coc, dist_win_g, coc_win_g, changed_blk_d,
+         gate_level, slab_vox) = gated
+        relax_iters = jnp.int32(0)
+    elif cfg.merge_mode == "canvas_edt":
         # ---- one exact separable EDT over the whole canvas --------------
         # Replaces the reference's batch-EDT + MarkLimitedObserve +
         # raise/lower wavefront composition (local_edt_core.h +
@@ -264,13 +507,18 @@ def merge_frame_impl(
     glb_type_out, fnt = mark_frontiers(canvas_type, glb_type, win_off, local_size)
 
     # ---- finalize write-back (UpdateHashBatch) --------------------------
-    dist_win = win(dist)
-    coc_win = win(coc)
+    if gated is not None:
+        dist_win, coc_win = dist_win_g, coc_win_g
+    else:
+        dist_win = win(dist)
+        coc_win = win(coc)
     pair_valid = dist_win != EMPTY_VALUE
     observed_win = glb_type != VOX_UNKNOWN
     writeback = observed_win & pair_valid
 
-    if cfg.merge_mode == "canvas_edt":
+    if gated is not None:
+        pass  # final_dist/final_coc spliced inside the gated switch
+    elif cfg.merge_mode == "canvas_edt":
         # ONE fused select per buffer: in-window voxels take the candidate
         # where observed with a valid pair; outside-window voxels take it
         # where observed and the full wavefront set is active (fast_mode
@@ -312,11 +560,48 @@ def merge_frame_impl(
     )
 
     # ---- changed-block tracking for D2H streaming -----------------------
-    changed_vox = (final_dist != old_dist) | (canvas_type != old_type)
-    changed_blk = (
-        changed_vox.reshape(bx, VB_WIDTH, by, VB_WIDTH, bz, VB_WIDTH).any((1, 3, 5))
-        & present
-    )
+    # occ-VALUE changes count as changed even when the type doesn't flip:
+    # the reference's fusion kernels record a changed VB key for every
+    # updated voxel (unify_helper.cuh stream_VB_keys), and the host mirror
+    # must converge on occ_val too (tests/test_stream_soak.py caught the
+    # occ-only staleness).  Occ changes only happen inside the window.
+    occ_changed_win = new_occ_win != old_occ_win
+    if gated is not None:
+        # dist changes live inside the gated slab (changed_blk_d from the
+        # branch); type/occ changes only inside the window — block-reduce
+        # the union without re-reading the full dist canvases
+        win_changed = _uncrop(jnp.zeros(canvas_size, jnp.bool_),
+                              (vt_win != old_type_win) | occ_changed_win,
+                              win_off)
+        changed_blk = (
+            (changed_blk_d
+             | win_changed.reshape(bx, VB_WIDTH, by, VB_WIDTH, bz,
+                                   VB_WIDTH).any((1, 3, 5)))
+            & present
+        )
+    else:
+        changed_vox = ((final_dist != old_dist) | (canvas_type != old_type)
+                       | _uncrop(jnp.zeros(canvas_size, jnp.bool_),
+                                 occ_changed_win, win_off))
+        changed_blk = (
+            changed_vox.reshape(bx, VB_WIDTH, by, VB_WIDTH, bz,
+                                VB_WIDTH).any((1, 3, 5))
+            & present
+        )
+
+    # blocks RE-ENTERING the canvas are reported changed: a block can exit
+    # with un-streamed changes still in the round-robin backlog (the carry
+    # mask is clipped to the canvas on scroll), so the host mirror heals on
+    # re-entry by re-streaming the restored content (tests/test_stream_soak)
+    if enter_shift is not None:
+        sh_blk = enter_shift // VB_WIDTH
+        cb_arr = jnp.asarray(canvas_blocks, jnp.int32)
+        entering_blk = jnp.zeros(canvas_blocks, jnp.bool_)
+        for a in range(3):
+            bi = jax.lax.broadcasted_iota(jnp.int32, canvas_blocks, a)
+            entering_blk |= jnp.where(
+                sh_blk[a] > 0, bi >= cb_arr[a] - sh_blk[a], bi < -sh_blk[a])
+        changed_blk = changed_blk | (entering_blk & present)
 
     state = dataclasses.replace(
         state,
@@ -329,9 +614,14 @@ def merge_frame_impl(
 
     # published cocs are GLOBAL int32 (the stored canvas-relative int16 plus
     # the canvas origin) — world extent is unbounded, output invalids keep
-    # the COC_INVALID16 sentinel value
+    # the COC_INVALID16 sentinel value.  dist_sq/coc outputs are masked to
+    # OBSERVED voxels (round 3): unobserved voxels' fresh-EDT values were
+    # never stored (write-back gating) nor published by the reference
+    # (convertCostMap reads the hash, local_batch.h:382-391), and masking
+    # makes the outputs a pure function of the stored state — the contract
+    # the change-gated EDT splice preserves bit-exactly.
     coc_glb_win = jnp.where(
-        (coc_win[..., 0] != COC_INVALID16)[..., None],
+        (observed_win & (coc_win[..., 0] != COC_INVALID16))[..., None],
         coc_win.astype(jnp.int32) + canvas_origin_vox,
         jnp.int32(COC_INVALID16),
     )
@@ -339,13 +629,19 @@ def merge_frame_impl(
     outputs = {
         "edt": edt,                      # float32 [X,Y,Z]
         "glb_type": glb_type_out,        # int8 [X,Y,Z] incl. FNT marks
-        "dist_sq": dist_win,             # int32 [X,Y,Z]
+        "dist_sq": jnp.where(observed_win, dist_win, EMPTY_VALUE),
         "coc": coc_glb_win,              # int32 [X,Y,Z,3] global coords
         "ogm_changed": ogm_changed,
         "changed_blk": changed_blk,      # bool [bx,by,bz]
         "relax_iters": relax_iters,
         "arch_dropped": state.arch_dropped,
         "fnt_count": jnp.sum(fnt.astype(jnp.int32)),
+        # change-gated EDT observability (VERDICT r3): taken slab-menu level
+        # (len(menu) = full recompute; -1 = gating off) and recomputed voxels
+        "gate_level": gate_level if gated is not None else jnp.int32(-1),
+        "gate_slab_vox": (slab_vox if gated is not None
+                          else jnp.int32(canvas_size[0] * canvas_size[1]
+                                         * canvas_size[2])),
     }
     return state, outputs
 
@@ -457,6 +753,7 @@ def scroll_frame_step(state, pose, fence_ll, fence_ur, fence_active,
     from ..map_state import _do_scroll
 
     pvt, origin_blk, off, rot, origin, s1, s2 = _unpack_pose(pose)
+    enter_shift = (origin_blk - state.origin_blk) * 8
     state = _do_scroll(state, origin_blk, cfg, compact_rows=compact_rows,
                        compact_cols=compact_cols)
     kw = {}
@@ -471,6 +768,7 @@ def scroll_frame_step(state, pose, fence_ll, fence_ur, fence_active,
     return merge_frame_impl(
         state, inst_type, ray_count, pvt, origin_blk, off,
         fence_ll, fence_ur, fence_active, fence_n,
+        enter_shift=enter_shift,
         cfg=cfg, input_pointcloud=input_pointcloud, mesh=mesh,
         do_scroll=False, use_fence=use_fence, fuse_raycast=fuse_raycast, **kw)
 
@@ -490,6 +788,8 @@ def _out_template(cfg: MapConfig):
         "relax_iters": jnp.int32(0),
         "arch_dropped": jnp.int32(0),
         "fnt_count": jnp.int32(0),
+        "gate_level": jnp.int32(-1),
+        "gate_slab_vox": jnp.int32(0),
     }
 
 
@@ -547,6 +847,8 @@ def replay_frames(state, poses, scrolled, fence_ll, fence_ur, fence_active,
     def body(carry, xs):
         s, _, changed_union = carry
         pvt, origin_blk, off, rot, origin, s1, s2 = _unpack_pose(xs["pose"])
+        enter_shift = jnp.where(xs["scrolled"],
+                                (origin_blk - s.origin_blk) * 8, 0)
         s, changed_union = jax.lax.cond(
             xs["scrolled"], scroll_branch, lambda op: (op[0], op[1]),
             (s, changed_union, origin_blk),
@@ -564,11 +866,14 @@ def replay_frames(state, poses, scrolled, fence_ll, fence_ur, fence_active,
             inst, cnt = xs["inst_type"], xs["ray_count"]
         s, out = merge_frame_impl(
             s, inst, cnt, pvt, origin_blk, off, *fence,
+            enter_shift=enter_shift,
             cfg=cfg, input_pointcloud=input_pointcloud, mesh=mesh,
             do_scroll=False, use_fence=use_fence, fuse_raycast=fuse_raycast,
             **kw)
         changed_union = changed_union | out["changed_blk"]
-        ys = {k: out[k] for k in ("relax_iters", "fnt_count", "arch_dropped")}
+        ys = {k: out[k] for k in ("relax_iters", "fnt_count",
+                                  "arch_dropped", "gate_level",
+                                  "gate_slab_vox")}
         return (s, out, changed_union), ys
 
     xs = {"pose": poses, "scrolled": scrolled}

@@ -351,6 +351,131 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = No
     return {"dist_sq": dist_sq, "coc": coc, "valid": valid}
 
 
+@partial(jax.jit, static_argnames=("sx", "sy", "max_width", "chunk", "pallas",
+                                   "mid", "env_variant", "p1"))
+def batch_edt_slab(glb_type, x0, y0, *, sx: int, sy: int, max_width: int,
+                   chunk: int = 8, pallas: bool | None = None,
+                   mid: bool | None = None, env_variant: str = "base",
+                   p1: str = "xla"):
+    """batch_edt restricted to the output slab [x0:x0+sx, y0:y0+sy, :].
+
+    The change-gated merge (models/pipeline.py) recomputes the exact EDT
+    only over the slab of voxels this frame's occupancy changes can affect.
+    Sites are NEVER restricted — each phase scans a complete site axis —
+    only the LANES are sliced, so slab outputs are bit-identical to the
+    same voxels of a full batch_edt:
+
+      phase 1 (scan along y)      full canvas        (sites for phase 2)
+      phase 2 (envelope along x)  lanes (z, y-slab)  reads all x
+      phase 3 (envelope along z)  lanes (x-slab, y-slab)  reads all z
+
+    Phase-2/3 envelope traffic and the downstream merge selects then scale
+    with the slab fraction instead of the canvas (VERDICT r2 item 1).
+
+    Args:
+      x0, y0: dynamic slab offsets (int32 scalars; caller clamps so the
+        slab fits the canvas).  sx, sy: static slab extents.
+    Returns {"dist_sq","coc","valid"} shaped [sx, sy, Z] (coc values are
+    CANVAS coordinates, exactly as batch_edt returns them).
+    """
+    occ = glb_type == VOX_OCCUPIED
+    X, Y, Z = occ.shape
+    if Z <= 1:
+        raise ValueError("batch_edt_slab requires a 3-D canvas (Z > 1)")
+    if pallas is None:
+        pallas = _use_pallas()
+    vkw = _env_variant_kwargs(env_variant)
+    if pallas:
+        from .pallas.envelope import envelope_mid_pallas, envelope_pallas
+
+        env = lambda f, payloads: envelope_pallas(f, payloads,
+                                                  packed_out=True, **vkw)
+    else:
+        env = lambda f, payloads: lower_envelope(f, payloads=payloads,
+                                                 chunk=chunk, packed_out=True)
+    env_packed = None
+    if p1 == "pallas" and pallas:
+        from .pallas.phase1 import phase1_fits
+
+        if phase1_fits(Y):
+            from .pallas.envelope import envelope_packed_pallas
+
+            env_packed = lambda f, yb: envelope_packed_pallas(
+                f, yb, packed_out=True, **vkw)
+        else:
+            import warnings
+
+            warnings.warn(
+                f"edt_phase1='pallas' needs Y <= 1024 (got {Y}); "
+                "falling back to the XLA phase 1", stacklevel=2)
+    elif p1 != "xla" and p1 != "pallas":
+        raise ValueError(f"unknown p1 variant {p1!r}; valid: xla, pallas")
+
+    x0 = jnp.asarray(x0, jnp.int32)
+    y0 = jnp.asarray(y0, jnp.int32)
+    ysl = lambda a: jax.lax.dynamic_slice(a, (0, y0, 0), (X, sy, Z))
+    tzy = lambda a: jnp.transpose(a, (0, 2, 1))
+
+    # ---- phase 1: full canvas; slice the y lanes feeding phase 2 --------
+    if env_packed is not None:
+        from .pallas.phase1 import phase1_pack_bits, phase1_packed_pallas
+
+        yb = phase1_pack_bits(Y)
+        packed1 = phase1_packed_pallas(occ, max_width)
+        f2p = tzy(ysl(packed1))                     # [X, Z, sy]
+        ib2 = _env_idx_bits(X)
+        pk2, pay2t = env_packed(f2p, yb)
+    else:
+        g1, coc_y1, valid1 = _phase1_along_y(occ, max_width)
+        g1sq = jnp.where(valid1, g1 * g1, _BIG)
+        pay2 = (coc_y1 << 1) | valid1.astype(jnp.int32)
+        f2 = tzy(ysl(g1sq))
+        ib2 = _env_idx_bits(X)
+        pk2, pay2t = env(f2, (tzy(ysl(pay2)),))
+    d2t = pk2 >> ib2
+    site2t = pk2 & ((1 << ib2) - 1)
+    d2m = jnp.where((pay2t & 1) > 0, d2t, _BIG)     # [X, Z, sy]
+    pay3 = (site2t << 11) | pay2t
+
+    # ---- phase 3: slice the x lanes; sites = all z -----------------------
+    xsl = lambda a: jax.lax.dynamic_slice(a, (x0, 0, 0), (sx, Z, sy))
+    d2s = xsl(d2m)
+    pay3s = xsl(pay3)
+    ib3 = _env_idx_bits(Z)
+    if mid and pallas:
+        env_mid = lambda f, payloads: envelope_mid_pallas(
+            f, payloads, packed_out=True, **vkw)
+        pk3, pay3o = env_mid(d2s, (pay3s,))         # [sx, Z, sy]
+    else:
+        mvz = lambda a: jnp.moveaxis(a, 1, 0)       # [Z, sx, sy]
+        pk3z, pay3z = env(mvz(d2s), (mvz(pay3s),))
+        pk3 = jnp.moveaxis(pk3z, 0, 1)
+        pay3o = jnp.moveaxis(pay3z, 0, 1)
+    d3 = pk3 >> ib3
+    coc_z3 = pk3 & ((1 << ib3) - 1)
+
+    # ---- slab layout [sx, sy, Z] -----------------------------------------
+    t_out = lambda a: jnp.transpose(a, (0, 2, 1))
+    dist_sq = t_out(d3)
+    coc_z = t_out(coc_z3)
+    pay3b = t_out(pay3o)
+    coc_x = pay3b >> 11
+    coc_y = (pay3b >> 1) & ((1 << 10) - 1)
+    valid = (pay3b & 1) > 0
+
+    dist_sq = jnp.where(valid, dist_sq, EMPTY_VALUE).astype(jnp.int32)
+    inv = jnp.int32(INVALID_COC)
+    coc = jnp.stack(
+        [
+            jnp.where(valid, coc_x, inv),
+            jnp.where(valid, coc_y, inv),
+            jnp.where(valid, coc_z, inv),
+        ],
+        axis=-1,
+    )
+    return {"dist_sq": dist_sq, "coc": coc, "valid": valid}
+
+
 def sharded_edt_ok(shape, mesh) -> bool:
     """Whether batch_edt_sharded supports this (shape, mesh)."""
     if mesh is None:

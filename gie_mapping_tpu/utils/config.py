@@ -130,6 +130,14 @@ class MapConfig:
     # TPU-only (ignored on CPU and by the sharded path, whose all_to_all
     # reshard IS the transpose).
     edt_mid: bool = True
+    # Change-gated canvas EDT (round 3): per frame, recompute the exact EDT
+    # only over the bounding slab of voxels this frame's occupancy changes
+    # can affect (models/pipeline.py::_gated_canvas_merge), splicing
+    # unchanged state through — bit-identical outputs
+    # (tests/test_edt_gate.py), cost scales with change volume instead of
+    # canvas volume.  canvas_edt + single-device + 3-D canvases only
+    # (ignored under a mesh and for Z==1 canvases).
+    edt_gate: bool = False
     max_relax_iters: Optional[int] = None  # cap on fixed-point sweeps (None=auto)
     stream_max_blocks: Optional[int] = None  # compaction size for D2H streaming
     stream_k_cols: Optional[int] = None  # per-tick streamed block-column cap

@@ -46,21 +46,22 @@ def _fence(cfg):
             jnp.zeros((M,), jnp.bool_), jnp.int32(0))
 
 
-def test_fusion_memory_fuzz():
+def _fuzz_horizon(n_frames, teleports, seed=123, stride=3, check_every=1):
     cfg = scan2d_config(local_size_m=(3.2, 3.2, 1.6), voxel_width=0.2,
                         fast_mode=True, cutoff_dist=2.0, max_blocks=4096,
                         for_motion_planner=False)
     X, Y, Z = cfg.local_size
-    rng = np.random.default_rng(123)
+    rng = np.random.default_rng(seed)
     state = MapState.create(cfg)
     sim = DictSim(cfg.occupancy_threshold)
     origin_host = None
 
     pivots = []
     p = np.zeros(3, int)
-    for i in range(14):
-        if i in (5, 10):  # teleport far away and back
-            p = np.asarray([60, -40, 0]) if i == 5 else np.zeros(3, int)
+    for i in range(n_frames):
+        if i in teleports:  # teleport far away and back
+            p = (np.asarray([60, -40, 0]) if len(pivots) % 2 == 0
+                 else np.zeros(3, int))
         else:
             p = p + rng.integers(-3, 4, 3) * np.asarray([1, 1, 0])
         pivots.append(p.copy())
@@ -87,10 +88,12 @@ def test_fusion_memory_fuzz():
         for idx in np.argwhere(inst != VOX_UNKNOWN):
             sim.fuse(tuple(idx + pvt), int(inst[tuple(idx)]))
 
-        # compare the full window occupancy state
+        if (i + 1) % check_every and i != len(pivots) - 1:
+            continue
+        # compare the window occupancy state (strided for speed)
         got = np.asarray(out["glb_type"])
-        for xi in range(0, X, 3):       # stride for speed; deterministic
-            for yi in range(0, Y, 3):
+        for xi in range(0, X, stride):
+            for yi in range(0, Y, stride):
                 for zi in range(Z):
                     glb = (xi + pvt[0], yi + pvt[1], zi + pvt[2])
                     _, want_type = sim.occ.get(glb, (0, VOX_UNKNOWN))
@@ -98,3 +101,14 @@ def test_fusion_memory_fuzz():
                     if g == VOX_FNT:
                         g = VOX_FREE  # FNT marks a FREE voxel
                     assert g == want_type, (i, glb, g, want_type)
+
+
+def test_fusion_memory_fuzz():
+    _fuzz_horizon(14, teleports=(5, 10))
+
+
+def test_fusion_memory_soak():
+    """Soak extension (VERDICT r2 item 5): 100 frames of continuous random
+    scroll with four teleports; the dict simulator stays exactly equal."""
+    _fuzz_horizon(100, teleports=(25, 50, 75, 90), seed=321, stride=4,
+                  check_every=10)

@@ -72,10 +72,14 @@ def _check_frame(tag, cfg, out_c, out_r, state_c):
     v_r = (d_r < EMPTY_VALUE) & out_r.seen
 
     # engines observe identically (shared fusion); value-validity may differ
-    # only on divergence-4 voxels (raised-unreached store unseen in relax)
+    # only on divergence-4 voxels (raised-unreached store unseen in relax).
+    # MEASURED (round 3): zero mismatched voxels on every frame of this
+    # horizon — every raised voxel is re-lowered within cutoff by the relax
+    # fixed point, so divergence 4 never materialises here.  Pinned as an
+    # exact count (docs/PARITY.md divergence 4 records the number).
     np.testing.assert_array_equal(out_c.seen, out_r.seen, err_msg=tag)
-    mismatch = np.mean(v_c != v_r)
-    assert mismatch < 0.05, (tag, mismatch)
+    mismatch_count = int(np.sum(v_c != v_r))
+    assert mismatch_count == 0, (tag, mismatch_count)
 
     # (a) engine-vs-engine: within 1 voxel of distance where both valid
     both = v_c & v_r

@@ -58,6 +58,19 @@ def test_sharded_matches_single_device():
     shd = _run(cfg, mesh)
     for a, b in zip(ref, shd):
         np.testing.assert_array_equal(a["glb_type"], b["glb_type"])
+
+
+def test_sharded_ignores_edt_gate():
+    """cfg.edt_gate is single-device only (the slab slicing conflicts with
+    the x-sharded canvas); under a mesh the merge must fall back to the
+    sharded full EDT, bit-identical to the ungated single-device run."""
+    assert len(jax.devices()) >= 8
+    cfg = _cfg().replace(edt_gate=True)
+    ref = _run(cfg.replace(edt_gate=False), None)
+    shd = _run(cfg, make_mesh(8))
+    for a, b in zip(ref, shd):
+        for k in ("glb_type", "dist_sq", "edt"):
+            np.testing.assert_array_equal(a[k], b[k])
         np.testing.assert_array_equal(a["dist_sq"], b["dist_sq"])
         np.testing.assert_allclose(a["edt"], b["edt"], rtol=1e-6)
 

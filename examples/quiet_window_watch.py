@@ -30,6 +30,13 @@ BUSY = "/tmp/gie_tpu_busy"
 # evidence), then committed-number artifacts, then stage bisects — quiet
 # windows may not outlast the whole list
 PAYLOADS = [
+    # round-3: change-gated EDT quiet-window verdict (the flip/revert check)
+    ("gate_ab", [sys.executable, os.path.join(HERE, "bench_edt_gate_ab.py")],
+     {}),
+    # round-3: padded-capacity sensitivity of the pointcloud path
+    ("raycast_capacity_ab",
+     [sys.executable, os.path.join(HERE, "bench_raycast_capacity_ab.py")],
+     {}),
     ("allin_ab", [sys.executable, os.path.join(HERE, "bench_edt_allin_ab.py")],
      {"AB_ROUNDS": "4"}),
     ("env_variants_ab",

@@ -418,7 +418,9 @@ def merge_frame_impl(
 
     gated = None
     if cfg.merge_mode == "canvas_edt" and cfg.edt_gate and mesh is None \
-            and canvas_size[2] > 1 and _slab_menu(canvas_size):
+            and canvas_size[2] > 1 and _slab_menu(canvas_size) \
+            and (canvas_size[0] * canvas_size[1] * canvas_size[2]
+                 >= cfg.edt_gate_min_vox):
         # ---- change-gated exact canvas EDT (see _gated_canvas_merge) -----
         if enter_shift is None:
             enter_shift = jnp.zeros(3, jnp.int32)

@@ -134,10 +134,26 @@ class MapConfig:
     # only over the bounding slab of voxels this frame's occupancy changes
     # can affect (models/pipeline.py::_gated_canvas_merge), splicing
     # unchanged state through — bit-identical outputs
-    # (tests/test_edt_gate.py), cost scales with change volume instead of
-    # canvas volume.  canvas_edt + single-device + 3-D canvases only
-    # (ignored under a mesh and for Z==1 canvases).
-    edt_gate: bool = False
+    # (tests/test_edt_gate.py + tpu_sanity on device), cost scales with
+    # change volume instead of canvas volume.  canvas_edt + single-device +
+    # 3-D canvases only (ignored under a mesh and for Z==1 canvases).
+    # DEFAULT True (flipped on the round-2 evidence protocol): compiler-
+    # audited slab traffic 0.17-0.45x of the full EDT at the menu sizes
+    # real frames take (bench_artifacts/hlo_gate_audit.jsonl), aliasing
+    # verified intact through the switch (frame alias/temp unchanged),
+    # neutral-or-better interleaved A/B in a ~3x-throttled window
+    # (+1.5-2.3%, bench_artifacts/gate_ab_*.jsonl; throttled windows cap
+    # duty cycle, so pass cuts register only quiet — docs/PERF.md §1).
+    # Revert check: a quiet-window bench_edt_gate_ab showing a regression
+    # (quiet_window_watch payload #1).
+    edt_gate: bool = True
+    # canvas-volume floor for the gate: small canvases are sub-ms already
+    # and the gated switch compiles len(menu)+1 EDT pipelines — below this
+    # many voxels the gate is skipped.  256000 = the smallest shipped
+    # preset's canvas (uav_raycast_fine, 80x80x40), so every preset gates
+    # while the CPU test suite's size-reduced configs (<= ~250k) stay on
+    # the single-EDT path; tests that pin the gate itself set 0
+    edt_gate_min_vox: int = 256000
     max_relax_iters: Optional[int] = None  # cap on fixed-point sweeps (None=auto)
     stream_max_blocks: Optional[int] = None  # compaction size for D2H streaming
     stream_k_cols: Optional[int] = None  # per-tick streamed block-column cap

@@ -33,7 +33,8 @@ SKIP_KEYS = ("gate_level", "gate_slab_vox")
 def _cfg(gate, fast=False, cutoff=2.0):
     return scan2d_config(local_size_m=(3.2, 3.2, 1.6), voxel_width=0.2,
                          fast_mode=fast, cutoff_dist=cutoff, max_blocks=2048,
-                         for_motion_planner=False, edt_gate=gate)
+                         for_motion_planner=False, edt_gate=gate,
+                         edt_gate_min_vox=0)
 
 
 def _fence(cfg):
@@ -237,6 +238,7 @@ def _mapper_cfg(gate):
     return scan2d_config(local_size_m=(3.2, 3.2, 1.6), voxel_width=0.2,
                          fast_mode=False, cutoff_dist=2.0, max_blocks=2048,
                          for_motion_planner=False, edt_gate=gate,
+                         edt_gate_min_vox=0,
                          max_raycast_points=512, fuse_raycast=True,
                          display_glb_edt=False, display_glb_ogm=False)
 

@@ -65,7 +65,7 @@ def test_sharded_ignores_edt_gate():
     the x-sharded canvas); under a mesh the merge must fall back to the
     sharded full EDT, bit-identical to the ungated single-device run."""
     assert len(jax.devices()) >= 8
-    cfg = _cfg().replace(edt_gate=True)
+    cfg = _cfg().replace(edt_gate=True, edt_gate_min_vox=0)
     ref = _run(cfg.replace(edt_gate=False), None)
     shd = _run(cfg, make_mesh(8))
     for a, b in zip(ref, shd):

@@ -678,10 +678,20 @@ class VolumetricMapper:
             self._stall_reported = False
         return n
 
+    def _sensor_proj(self, proj: geo.Projection) -> geo.Projection:
+        """ugv_height override: ground vehicles clamp the sensor origin's z
+        (volumetric_mapper.cpp:148-151) before the pivot computation."""
+        if self.cfg.ugv_height > 0:
+            t = np.asarray(proj.trans, np.float32).copy()
+            t[2] = self.cfg.ugv_height
+            return geo.Projection(proj.rot, t)
+        return proj
+
     # -- the four map makers -------------------------------------------
     def process_scan2d(self, proj: geo.Projection, ranges, theta_min, theta_inc):
         """2-D LiDAR frame (HokuyoMapMaker, src/hokuyo_map_maker.cpp)."""
         t0 = time.perf_counter()
+        proj = self._sensor_proj(proj)
         cfg = self.cfg
         pvt, origin_blk, off = self._frame_geometry(np.asarray(proj.trans))
         scalars = np.zeros((2, 3), np.float32)
@@ -694,6 +704,7 @@ class VolumetricMapper:
     def process_depth(self, proj: geo.Projection, depth, fx, fy, cx, cy):
         """Depth-camera frame (RealsenseMapMaker, src/realsense_map_maker.cpp)."""
         t0 = time.perf_counter()
+        proj = self._sensor_proj(proj)
         cfg = self.cfg
         pvt, origin_blk, off = self._frame_geometry(np.asarray(proj.trans))
         scalars = np.zeros((2, 3), np.float32)
@@ -708,6 +719,7 @@ class VolumetricMapper:
                           phi_min, phi_inc):
         """3-D spinning-LiDAR frame (Vlp16MapMaker, src/vlp16_map_maker.cpp)."""
         t0 = time.perf_counter()
+        proj = self._sensor_proj(proj)
         cfg = self.cfg
         pvt, origin_blk, off = self._frame_geometry(np.asarray(proj.trans))
         scalars = np.zeros((2, 3), np.float32)
@@ -739,6 +751,7 @@ class VolumetricMapper:
         capacity cfg.max_raycast_points.
         """
         t0 = time.perf_counter()
+        proj = self._sensor_proj(proj)
         cfg = self.cfg
         pvt, origin_blk, off = self._frame_geometry(np.asarray(proj.trans))
         if (isinstance(points_sensor, jax.Array)
@@ -901,6 +914,7 @@ class VolumetricMapper:
         from .pipeline import replay_frames
 
         cfg = self.cfg
+        projs = [self._sensor_proj(p) for p in projs]
         K = len(projs)
         cb = np.asarray(cfg.canvas_blocks, np.int64)
         # small canvases can't fill the compacted buckets: the full-canvas

@@ -125,13 +125,25 @@ class HostMirror:
             return np.zeros((0, 3), np.float32)
         return np.concatenate(pts).astype(np.float32)
 
-    def edt_cloud(self, voxel_width: float):
-        """(position, distance_m) of all voxels with a valid EDT value."""
+    def edt_cloud(self, voxel_width: float, z_slice: int | None = None):
+        """(position, distance_m) of all voxels with a valid EDT value.
+
+        z_slice: global voxel z of the visualization layer — the reference's
+        publish_glb_2_rviz draws the global EDT only at the `vis_height`
+        layer unless profiling (volumetric_mapper.h:279-281,339); pass
+        round(cfg.vis_height / voxel_width) for that behaviour, None for
+        the full cloud (the profiling/RMSE view)."""
         from ..utils.constants import EMPTY_VALUE
 
         pts, dists = [], []
         for key, blk in self.blocks.items():
+            if z_slice is not None:
+                kz = z_slice - key[2] * 8
+                if not (0 <= kz < 8):
+                    continue
             valid = np.argwhere(blk["dist_sq"] < EMPTY_VALUE)
+            if z_slice is not None and valid.size:
+                valid = valid[valid[:, 2] == z_slice - key[2] * 8]
             if valid.size:
                 pts.append((np.asarray(key) * 8 + valid) * voxel_width)
                 d = blk["dist_sq"][valid[:, 0], valid[:, 1], valid[:, 2]]

@@ -84,6 +84,16 @@ class MapConfig:
     profile_glb_rms: bool = False
     log_name: str = "gie_tpu_log.csv"
 
+    # UGV sensor-height override: when > 0 the sensor origin's z is clamped
+    # to this height before the pivot/window computation — the reference
+    # does this for ground vehicles whose odometry z drifts
+    # (parameters.h:41,82; volumetric_mapper.cpp:148-151)
+    ugv_height: float = -1.0
+    # global-EDT visualization slice height (metres): publish_glb_2_rviz
+    # draws the EDT cloud only at this z layer unless profiling
+    # (parameters.h:40,81; volumetric_mapper.h:333-341,279-281)
+    vis_height: float = 1.0
+
     # external-observer / fence
     is_ext_obsv_3D: bool = False
     max_ext_obs: int = 16  # static capacity of AABB obstacle slots
@@ -442,6 +452,8 @@ def load_config_yaml(path: str) -> MapConfig:
         profile_glb_rms=bool(raw.get("profile_glb_rms", False)),
         log_name=str(raw.get("log_name", "gie_tpu_log.csv")),
         is_ext_obsv_3D=bool(raw.get("is_ext_obsv_3D", False)),
+        ugv_height=float(raw.get("ugv_height", -1.0)),
+        vis_height=float(raw.get("vis_height", 1.0)),
     )
 
 

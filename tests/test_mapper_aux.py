@@ -274,3 +274,45 @@ def test_cost_map_payload8_bytes():
         rec["d"].reshape(Z, Y, X), out.edt.astype(np.float32).transpose(2, 1, 0))
     np.testing.assert_array_equal(
         rec["o"].reshape(Z, Y, X), (out.glb_type != 0).transpose(2, 1, 0))
+
+
+def test_ugv_height_override_and_vis_slice():
+    """ugv_height clamps the sensor origin's z before the pivot
+    (volumetric_mapper.cpp:148-151); vis_height selects the global-EDT
+    visualization z layer (volumetric_mapper.h:279-281,339)."""
+    import numpy as np
+
+    from gie_mapping_tpu.models.mapper import VolumetricMapper
+    from gie_mapping_tpu.runtime.datasets import BoxWorld
+    from gie_mapping_tpu.utils import geometry as geo
+    from gie_mapping_tpu.utils.config import scan2d_config
+
+    cfg = scan2d_config(local_size_m=(3.2, 3.2, 1.6), voxel_width=0.2,
+                        max_blocks=2048, for_motion_planner=False,
+                        ugv_height=0.8, display_glb_edt=True,
+                        display_glb_ogm=True, fast_mode=False,
+                        cutoff_dist=1.0)
+    world = BoxWorld.corridor(seed=4, n_pillars=3, extent=1.2, height=1.4)
+    m = VolumetricMapper(cfg)
+    # odometry z drifts to 3.1 m; the TRUE sensor rides at ugv_height=0.8
+    # (simulate the scan there), and the pivot must anchor at ugv_height
+    proj_true = geo.Projection(np.eye(3, dtype=np.float32),
+                               np.asarray([0.5, -0.9, 0.8], np.float32))
+    proj = geo.Projection(np.eye(3, dtype=np.float32),
+                          np.asarray([0.5, -0.9, 3.1], np.float32))
+    r, tmin, tinc = world.scan_2d(proj_true, n_beams=120)
+    out = m.process_scan2d(proj, r, tmin, tinc)
+    want_pvt_z = geo.calculate_pivot(np.asarray([0.5, -0.9, 0.8]),
+                                     cfg.voxel_width, cfg.local_size)[2]
+    assert out.pvt[2] == want_pvt_z
+    # drifted-z pivot would differ
+    assert out.pvt[2] != geo.calculate_pivot(
+        np.asarray([0.5, -0.9, 3.1]), cfg.voxel_width, cfg.local_size)[2]
+
+    # vis_height z-slice of the mirror EDT cloud
+    m.flush_stream()
+    z_vox = int(round(cfg.vis_height / cfg.voxel_width))
+    pts, d = m.mirror.edt_cloud(cfg.voxel_width, z_slice=z_vox)
+    full_pts, _ = m.mirror.edt_cloud(cfg.voxel_width)
+    assert len(full_pts) > len(pts) > 0
+    np.testing.assert_allclose(pts[:, 2], z_vox * cfg.voxel_width, atol=1e-5)

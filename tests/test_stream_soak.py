@@ -20,6 +20,7 @@ import warnings
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from gie_mapping_tpu.models.mapper import CapacityWarning, VolumetricMapper
 from gie_mapping_tpu.runtime.datasets import BoxWorld
@@ -28,12 +29,14 @@ from gie_mapping_tpu.utils.config import scan2d_config
 from gie_mapping_tpu.utils.constants import VB_WIDTH
 
 
-def test_stream_soak_mirror_converges():
+@pytest.mark.parametrize("gate", [False, True])
+def test_stream_soak_mirror_converges(gate):
     cfg = scan2d_config(
         local_size_m=(4.8, 4.8, 1.2), voxel_width=0.2, fast_mode=True,
         cutoff_dist=1.6, max_blocks=8192, for_motion_planner=False,
         display_glb_ogm=True, display_glb_edt=True, vis_interval=1,
         stream_k_cols=4, stream_stall_ticks=1000,  # stall alert out of play
+        edt_gate=gate, edt_gate_min_vox=0,  # gated engine x streaming
     )
     cb = cfg.canvas_blocks
     ncols = cb[0] * cb[1]

@@ -70,7 +70,8 @@ def _axis_lohi(mask1d, n):
 
 def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
                         old_type_win, win_off, window_mask,
-                        present_vox_canvas, enter_shift, *, cfg: MapConfig):
+                        present_vox_canvas, enter_shift, *, cfg: MapConfig,
+                        mesh=None):
     """Change-gated exact canvas EDT (round 3, VERDICT r2 item 1).
 
     Per frame, the set of voxels whose stored (dist, coc) can differ from
@@ -99,16 +100,24 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
     frontier-reachable voxels (glb_hash_map.cu:146-207) — at the batch
     EDT's exactness (local_edt_core.h:14-193).
 
+    Under a mesh the slab restricts ONLY the y lanes (x is the sharded
+    axis, z a site axis): batch_edt_sharded_slab halves nothing in x but
+    both all_to_all reshards and phases 2/3 scale with sy/Y.
+
     Returns (final_dist, final_coc, dist_win, coc_win, changed_blk_dist,
     gate_level, slab_vox)."""
-    from ..ops.edt_batch import batch_edt_slab, batch_edt
+    from ..ops.edt_batch import (batch_edt, batch_edt_slab,
+                                 batch_edt_sharded, batch_edt_sharded_slab)
     from ..utils.constants import VOX_OCCUPIED
 
     canvas_size = cfg.canvas_size
     local_size = cfg.local_size
     X, Y, Z = canvas_size
     cs_arr = jnp.asarray(canvas_size, jnp.int32)
-    menu = _slab_menu(canvas_size)
+    if mesh is None:
+        menu = _slab_menu(canvas_size)
+    else:
+        menu = [(X, sy) for _, sy in _slab_menu(canvas_size)]
     n_menu = len(menu)
 
     # ---- Δ: occupancy flips + UNKNOWN transitions (window-sized) ---------
@@ -207,8 +216,12 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
             dist_state, coc_state, ctype, pvox, bx0, by0, woff = ops
             ox = jnp.clip(bx0 // 8 * 8, 0, X - SX)
             oy = jnp.clip(by0 // 8 * 8, 0, Y - SY)
-            slab = batch_edt_slab(ctype, ox, oy, sx=SX, sy=SY,
-                                  mid=cfg.edt_mid, **ekw)
+            if mesh is None:
+                slab = batch_edt_slab(ctype, ox, oy, sx=SX, sy=SY,
+                                      mid=cfg.edt_mid, **ekw)
+            else:
+                slab = batch_edt_sharded_slab(ctype, oy, sy=SY, mesh=mesh,
+                                              **ekw)
             sl = lambda a: jax.lax.dynamic_slice(
                 a, (ox, oy, 0) + (0,) * (a.ndim - 3),
                 (SX, SY, Z) + a.shape[3:])
@@ -244,7 +257,10 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
 
     def full_branch(ops):
         dist_state, coc_state, ctype, pvox, _bx0, _by0, woff = ops
-        full = batch_edt(ctype, mid=cfg.edt_mid, **ekw)
+        if mesh is None:
+            full = batch_edt(ctype, mid=cfg.edt_mid, **ekw)
+        else:
+            full = batch_edt_sharded(ctype, mesh=mesh, **ekw)
         win_s = window_mask
         fin_d, fin_c, dist_pre, coc_pre = finalize_slab(
             dist_state, coc_state, full, ctype != VOX_UNKNOWN, pvox, win_s)
@@ -417,8 +433,10 @@ def merge_frame_impl(
     outside_observed = observed_canvas & ~window_mask
 
     gated = None
-    if cfg.merge_mode == "canvas_edt" and cfg.edt_gate and mesh is None \
+    from ..ops.edt_batch import sharded_edt_ok as _sh_ok
+    if cfg.merge_mode == "canvas_edt" and cfg.edt_gate \
             and canvas_size[2] > 1 and _slab_menu(canvas_size) \
+            and (mesh is None or _sh_ok(canvas_size, mesh)) \
             and (canvas_size[0] * canvas_size[1] * canvas_size[2]
                  >= cfg.edt_gate_min_vox):
         # ---- change-gated exact canvas EDT (see _gated_canvas_merge) -----
@@ -426,7 +444,8 @@ def merge_frame_impl(
             enter_shift = jnp.zeros(3, jnp.int32)
         gated = _gated_canvas_merge(
             state, canvas_type, old_type, new_type_win, old_type_win,
-            win_off, window_mask, present_vox_canvas, enter_shift, cfg=cfg)
+            win_off, window_mask, present_vox_canvas, enter_shift, cfg=cfg,
+            mesh=mesh)
         (final_dist, final_coc, dist_win_g, coc_win_g, changed_blk_d,
          gate_level, slab_vox) = gated
         relax_iters = jnp.int32(0)

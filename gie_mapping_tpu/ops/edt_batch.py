@@ -485,6 +485,88 @@ def sharded_edt_ok(shape, mesh) -> bool:
     return n > 1 and Z > 1 and X % n == 0 and Z % n == 0
 
 
+@partial(jax.jit, static_argnames=("sy", "max_width", "chunk", "pallas",
+                                   "mesh", "env_variant", "p1"))
+def batch_edt_sharded_slab(glb_type, y0, *, sy: int, max_width: int, mesh,
+                           chunk: int = 8, pallas: bool | None = None,
+                           env_variant: str = "base", p1: str = "xla"):
+    """batch_edt_sharded restricted to the y-slab [y0:y0+sy] (all x, all z).
+
+    The sharded change-gate slices ONLY the y lanes: x is the mesh-sharded
+    axis (slicing it dynamically would fight GSPMD) and z is a site axis.
+    Phase 1 runs on the full x-shard; the y-slice happens BEFORE the first
+    all_to_all, so both reshards move sy/Y of the bytes; phases 2/3 run on
+    (z, y-slab) / (x-shard, y-slab) lanes with complete site axes — slab
+    outputs bit-identical to batch_edt_sharded's
+    (tests/test_multichip.py::test_sharded_gate_matches_single_device).
+
+    Returns {"dist_sq","coc","valid"} shaped [X, sy, Z], x-sharded."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import MESH_AXIS
+
+    occ = glb_type == VOX_OCCUPIED
+    X, Y, Z = occ.shape
+    if pallas is None:
+        pallas = _use_pallas()
+    vkw = _env_variant_kwargs(env_variant)
+    if pallas:
+        from .pallas.envelope import envelope_pallas
+
+        env = lambda f, payloads: envelope_pallas(f, payloads,
+                                                  packed_out=True, **vkw)
+    else:
+        env = lambda f, payloads: lower_envelope(f, payloads=payloads,
+                                                 chunk=chunk, packed_out=True)
+    env_packed = None
+    if p1 == "pallas" and pallas:
+        from .pallas.phase1 import phase1_fits
+
+        if phase1_fits(Y):
+            from .pallas.envelope import envelope_packed_pallas
+
+            env_packed = lambda f, yb: envelope_packed_pallas(
+                f, yb, packed_out=True, **vkw)
+
+    y0 = jnp.asarray(y0, jnp.int32)
+
+    def body(occ_l, y0_l):
+        Xl = occ_l.shape[0]
+        a2a = lambda a: jax.lax.all_to_all(a, MESH_AXIS, 1, 0, tiled=True)
+        ysl = lambda a: jax.lax.dynamic_slice(a, (0, y0_l[0], 0),
+                                              (Xl, sy, Z))
+        reshard1 = lambda a: a2a(jnp.transpose(ysl(a), (0, 2, 1)))
+        reshard2 = lambda a: a2a(jnp.moveaxis(a, 1, 0))
+        packed_c, pay3b, zbits = _edt_zmajor_core(
+            occ_l, env, max_width, Z,
+            reshard1=reshard1, reshard2=reshard2,
+            env_packed=env_packed)
+        return packed_c, pay3b
+
+    packed_c, pay3b = jax.shard_map(
+        body, mesh=mesh, in_specs=(P(MESH_AXIS), P()),
+        out_specs=P(MESH_AXIS), check_vma=False,
+    )(occ, jnp.broadcast_to(y0, (1,)))
+
+    zbits = (Z - 1).bit_length() + 1
+    dist_sq = packed_c >> (zbits + 1)
+    coc_z = (packed_c >> 1) & ((1 << zbits) - 1)
+    coc_x = pay3b >> 11
+    coc_y = (pay3b >> 1) & ((1 << 10) - 1)
+    valid = (packed_c & 1) > 0
+    dist_sq = jnp.where(valid, dist_sq, EMPTY_VALUE).astype(jnp.int32)
+    inv = jnp.int32(INVALID_COC)
+    coc = jnp.stack(
+        [
+            jnp.where(valid, coc_x, inv),
+            jnp.where(valid, coc_y, inv),
+            jnp.where(valid, coc_z, inv),
+        ],
+        axis=-1,
+    )
+    return {"dist_sq": dist_sq, "coc": coc, "valid": valid}
+
+
 @partial(jax.jit, static_argnames=("max_width", "chunk", "pallas", "mesh",
                                    "env_variant", "p1"))
 def batch_edt_sharded(glb_type, max_width: int, mesh, chunk: int = 8,

@@ -145,8 +145,9 @@ class MapConfig:
     # can affect (models/pipeline.py::_gated_canvas_merge), splicing
     # unchanged state through — bit-identical outputs
     # (tests/test_edt_gate.py + tpu_sanity on device), cost scales with
-    # change volume instead of canvas volume.  canvas_edt + single-device +
-    # 3-D canvases only (ignored under a mesh and for Z==1 canvases).
+    # change volume instead of canvas volume.  canvas_edt + 3-D canvases
+    # only (Z==1 excluded); under a mesh the gate slices y lanes only
+    # (batch_edt_sharded_slab — x stays the sharded axis).
     # DEFAULT True (flipped on the round-2 evidence protocol): compiler-
     # audited slab traffic 0.17-0.45x of the full EDT at the menu sizes
     # real frames take (bench_artifacts/hlo_gate_audit.jsonl), aliasing

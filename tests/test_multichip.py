@@ -58,12 +58,14 @@ def test_sharded_matches_single_device():
     shd = _run(cfg, mesh)
     for a, b in zip(ref, shd):
         np.testing.assert_array_equal(a["glb_type"], b["glb_type"])
+        np.testing.assert_array_equal(a["dist_sq"], b["dist_sq"])
+        np.testing.assert_allclose(a["edt"], b["edt"], rtol=1e-6)
 
 
-def test_sharded_ignores_edt_gate():
-    """cfg.edt_gate is single-device only (the slab slicing conflicts with
-    the x-sharded canvas); under a mesh the merge must fall back to the
-    sharded full EDT, bit-identical to the ungated single-device run."""
+def test_sharded_gate_matches_single_device():
+    """The change-gated EDT composes with the mesh: under a mesh the gate
+    slices only the y lanes (batch_edt_sharded_slab — x stays sharded) and
+    must stay bit-identical to the ungated single-device run."""
     assert len(jax.devices()) >= 8
     cfg = _cfg().replace(edt_gate=True, edt_gate_min_vox=0)
     ref = _run(cfg.replace(edt_gate=False), None)
@@ -71,8 +73,28 @@ def test_sharded_ignores_edt_gate():
     for a, b in zip(ref, shd):
         for k in ("glb_type", "dist_sq", "edt"):
             np.testing.assert_array_equal(a[k], b[k])
-        np.testing.assert_array_equal(a["dist_sq"], b["dist_sq"])
-        np.testing.assert_allclose(a["edt"], b["edt"], rtol=1e-6)
+
+
+def test_sharded_slab_edt_matches_full():
+    """batch_edt_sharded_slab y-slab outputs == batch_edt's same voxels."""
+    import jax.numpy as jnp
+
+    from gie_mapping_tpu.ops.edt_batch import batch_edt, batch_edt_sharded_slab
+
+    rng = np.random.default_rng(2)
+    X, Y, Z = 64, 48, 16
+    occ = rng.random((X, Y, Z)) < 0.02
+    glb = jnp.asarray(np.where(occ, VOX_OCCUPIED, VOX_FREE).astype(np.int8))
+    full = {k: np.asarray(v) for k, v in
+            batch_edt(glb, max_width=X + Y + Z).items()}
+    mesh = make_mesh(8)
+    for y0, sy in [(0, 16), (8, 24), (32, 16), (0, Y)]:
+        slab = batch_edt_sharded_slab(glb, jnp.int32(y0), sy=sy,
+                                      max_width=X + Y + Z, mesh=mesh)
+        for k in ("dist_sq", "coc", "valid"):
+            np.testing.assert_array_equal(
+                np.asarray(slab[k]), full[k][:, y0:y0 + sy],
+                err_msg=f"y-slab ({y0},{sy}) field {k!r}")
 
 
 def test_sharded_relax_engine_matches():

@@ -21,6 +21,21 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test FILES.
+
+    The suite compiles hundreds of XLA CPU programs in one process; the
+    LLVM JIT's code memory accumulates with the live executables and
+    eventually segfaults inside a later compile (observed deterministically
+    at ~220 programs once the change-gated switch multiplied program
+    sizes).  Shapes/configs rarely repeat across files, so per-module
+    clearing costs little recompilation and keeps the serial `pytest
+    tests/` run within the JIT's memory budget."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

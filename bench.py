@@ -165,6 +165,10 @@ def main():
             "link_latency_ms": round(link_latency * 1e3, 2),
             "mvoxels_per_s": round(vox_rate, 2),
             "relax_iters_last": int(np.asarray(out.device("relax_iters"))),
+            # change-gated EDT observability: menu level of the last frame
+            # (3 = full recompute, lower = smaller slab) and its voxel count
+            "gate_level_last": int(np.asarray(out.device("gate_level"))),
+            "gate_slab_vox_last": int(np.asarray(out.device("gate_slab_vox"))),
             "rays_per_frame": N_RAYS,
             "passes": len(per_pass),
             "throttle_retries": retries,

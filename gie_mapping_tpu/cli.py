@@ -284,6 +284,7 @@ def main():
         "wall_s": round(wall, 3),
         "ms_per_frame": round(wall * 1e3 / max(n, 1), 2),
         "occupied_voxels": int((out.glb_type == 2).sum()),
+        "gate_level_last": int(out.gate_level),
         "frontier_voxels": int(out.fnt_count),
         "mirror_blocks": len(mapper.mirror) if mapper.mirror else 0,
         "arch_dropped": int(out.arch_dropped),

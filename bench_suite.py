@@ -43,7 +43,8 @@ import numpy as np
 N_WARMUP = 2
 N_FRAMES = 20
 N_PASSES = 3
-CHUNK = 10
+CHUNK = 20  # one program per measured pass (per-program throttle quantum;
+# bench_artifacts/throttle_quantum_*.jsonl) — the ladder covers tails
 K_EDT = 8
 
 # Per-case targets: BASELINE.md names only the cow-lady 10 ms budget; the
@@ -110,9 +111,11 @@ def bench_case(case: str, link_ms: float):
     extent = min(cfg.local_size_m[0] * 0.45, 4.5)
     world = BoxWorld.corridor(seed=11, n_pillars=8, extent=extent,
                               height=max(cfg.local_size_m[2], 2.5))
-    poses = circular_trajectory(n_frames=N_WARMUP + N_FRAMES,
-                                radius=extent * 0.35,
-                                height=cfg.local_size_m[2] * 0.4)
+    poses_m = circular_trajectory(n_frames=N_FRAMES, radius=extent * 0.35,
+                                  height=cfg.local_size_m[2] * 0.4,
+                                  closed=True)
+    poses = poses_m[:N_WARMUP] + poses_m  # closed loop: passes wrap with an
+    # ordinary scroll -> each pass plans as one scan program
     kind, data, kw = _make_frames(case, cfg, world, poses)
 
     mapper = VolumetricMapper(cfg)

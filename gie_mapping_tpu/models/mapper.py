@@ -820,9 +820,12 @@ class VolumetricMapper:
         known ahead of dispatch.
 
         State evolution is bit-identical to calling process_pointcloud per
-        frame (tests/test_replay_batch.py).  Frames whose canvas scroll
-        exceeds the in-scan compacted-archive bounds (first frame, teleports)
-        and chunk tails fall back to the per-frame path transparently.
+        frame (tests/test_replay_batch.py).  Chunk tails and post-teleport
+        segments dispatch as SHORTER scan programs (ladder
+        {chunk, chunk/2, chunk/4} — in throttled windows the tunnel charges
+        a fixed quantum per program, bench_throttle_quantum.py); only
+        frames a scan cannot absorb at all (fresh map, teleport-scale
+        scrolls, fence flips) fall back to the per-frame path.
         Streaming/visualisation runs at chunk cadence over the union of
         changed blocks; the ground-truth checker needs per-frame host data
         and is skipped (use the per-frame API when profiling RMSE).
@@ -962,12 +965,23 @@ class VolumetricMapper:
                 if scroll:
                     prev = origin_blk.copy()
                 j += 1
-            if len(plan) < chunk:
-                # violation or tail: per-frame path for the next frame, then
-                # re-plan (fixed chunk size keeps the jit cache at one entry)
+            # dispatch the largest LADDER length the plan covers: tails and
+            # post-teleport segments run as SHORTER scan programs instead of
+            # per-frame fallbacks — in throttled windows the tunnel charges a
+            # fixed quantum PER PROGRAM (examples/bench_throttle_quantum.py),
+            # so every fallback frame costs a full quantum while a scanned
+            # frame costs quantum/len.  The ladder {chunk, chunk/2, chunk/4}
+            # keeps the jit cache at <= 3 scan-length entries.
+            ladder = sorted({chunk} | {max(chunk // 2, 2), max(chunk // 4, 2)},
+                            reverse=True)
+            run_len = next((L for L in ladder if len(plan) >= L), 0)
+            if run_len == 0:
+                # plan too short for any scan program (jump / fence flip /
+                # fresh map): per-frame path for one frame, then re-plan
                 result = fallback(i)
                 i += 1
                 continue
+            plan = plan[:run_len]
 
             t0 = time.perf_counter()
             n = len(plan)

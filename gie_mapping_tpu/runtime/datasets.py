@@ -117,11 +117,16 @@ class BoxWorld:
         return horiz.reshape(ring_num, scan_num).astype(np.float32), theta_min, theta_inc, phi_min, phi_inc
 
 
-def circular_trajectory(n_frames=20, radius=2.0, height=1.0):
-    """Poses orbiting the origin, always facing forward along the orbit."""
+def circular_trajectory(n_frames=20, radius=2.0, height=1.0, closed=False):
+    """Poses orbiting the origin, always facing forward along the orbit.
+
+    closed: spread the frames over the FULL circle so frame n-1 is adjacent
+    to frame 0 — replaying the sequence wraps with an ordinary scroll
+    instead of a teleport-scale jump (bench passes then plan as one scan
+    program; see examples/bench_throttle_quantum.py)."""
     out = []
     for i in range(n_frames):
-        a = 2 * np.pi * i / max(n_frames, 1) * 0.5
+        a = 2 * np.pi * i / max(n_frames, 1) * (1.0 if closed else 0.5)
         pos = np.asarray([radius * np.cos(a), radius * np.sin(a), height], np.float32)
         yaw = a + np.pi / 2
         quat = (np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2))

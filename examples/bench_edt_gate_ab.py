@@ -36,7 +36,7 @@ _cc()
 import numpy as np
 
 N_WARMUP = 2
-CHUNK = 10
+CHUNK = 20
 
 
 def build_case(case, gate, n_frames):
@@ -56,9 +56,10 @@ def build_case(case, gate, n_frames):
     extent = min(cfg.local_size_m[0] * 0.45, 4.5)
     world = BoxWorld.corridor(seed=11, n_pillars=8, extent=extent,
                               height=max(cfg.local_size_m[2], 2.5))
-    poses = circular_trajectory(n_frames=N_WARMUP + n_frames,
-                                radius=extent * 0.35,
-                                height=cfg.local_size_m[2] * 0.4)
+    poses_m = circular_trajectory(n_frames=n_frames, radius=extent * 0.35,
+                                  height=cfg.local_size_m[2] * 0.4,
+                                  closed=True)
+    poses = poses_m[:N_WARMUP] + poses_m  # closed: one scan program/pass
     mapper = VolumetricMapper(cfg)
     if case in ("cow_lady", "ugv_corridor", "uav_raycast_fine"):
         clouds = [world.pointcloud(p, n_rays=16384, max_range=8.0, seed=i)

@@ -37,7 +37,7 @@ _cc()
 import numpy as np
 
 N_WARMUP = 2
-CHUNK = 10
+CHUNK = 20
 N_LIVE = 12288  # live points per frame (fixed across capacities)
 
 
@@ -68,8 +68,9 @@ def main():
     link_ms = float(np.median(lat)) * 1e3
 
     world = BoxWorld.corridor(seed=11, n_pillars=8, extent=4.0, height=2.5)
-    poses = circular_trajectory(n_frames=N_WARMUP + args.frames, radius=1.5,
-                                height=1.2)
+    poses_m = circular_trajectory(n_frames=args.frames, radius=1.5,
+                                  height=1.2, closed=True)
+    poses = poses_m[:N_WARMUP] + poses_m  # closed: one scan program/pass
     clouds = [world.pointcloud(p, n_rays=N_LIVE, max_range=8.0, seed=i)
               for i, p in enumerate(poses)]
 

@@ -351,8 +351,8 @@ class VolumetricMapper:
             col_bound = ncols
         else:
             col_bound = ncols - int(np.maximum(cb[:2] - shift[:2], 0).prod())
-        cols = next((s for s in (32, 64) if col_bound <= s <= ncols), ncols)
-        for s in (256, 1024):
+        cols = next((s for s in (32, 64, 128) if col_bound <= s <= ncols), ncols)
+        for s in (256, 1024, 2048):
             if bound <= s <= nb:
                 return s, cols
         return None, None
@@ -793,9 +793,14 @@ class VolumetricMapper:
                          input_pointcloud=True, t_sensor0=t0)
 
     # -- batched replay (throughput mode) --------------------------------
-    # in-scan scrolls use these static compacted-archive bounds; frames whose
-    # scroll exceeds them (teleports, first frame) take the per-frame path
-    REPLAY_ROWS, REPLAY_COLS = 256, 32
+    # in-scan scrolls use static compacted-archive bounds chosen PER
+    # PLANNED RUN from the actual scrolls (the old fixed 256/32 caps made
+    # every big-canvas scroll frame fall back to the per-frame path, each
+    # paying the tunnel's per-program throttle quantum —
+    # bench_artifacts/throttle_quantum_*.jsonl); only scrolls no bucket
+    # covers (true teleports) break the plan now.  These minimum buckets
+    # also gate whether compaction pays at all on small canvases.
+    REPLAY_ROWS, REPLAY_COLS = 256, 32  # minimum buckets
 
     def stage_pointcloud_batch(self, clouds):
         """Pre-upload K point clouds as stacked device buffers
@@ -922,10 +927,8 @@ class VolumetricMapper:
         cb = np.asarray(cfg.canvas_blocks, np.int64)
         # small canvases can't fill the compacted buckets: the full-canvas
         # scroll path (also fully traced) handles ANY in-scan shift there
-        use_compact = int(cb.prod()) >= self.REPLAY_ROWS \
-            and int(cb[0] * cb[1]) >= self.REPLAY_COLS
-        cr = self.REPLAY_ROWS if use_compact else None
-        cc = self.REPLAY_COLS if use_compact else None
+        use_compact = (int(cb.prod()) >= self.REPLAY_ROWS
+                       and int(cb[0] * cb[1]) >= self.REPLAY_COLS)
         result = None
         i = 0
 
@@ -942,6 +945,7 @@ class VolumetricMapper:
             prev = None if self._origin is None else self._origin.copy()
             plan = []
             fkey0 = None
+            run_rows, run_cols = self.REPLAY_ROWS, self.REPLAY_COLS
             j = i
             while j < K and len(plan) < chunk:
                 pvt, origin_blk, off = self._frame_geometry(
@@ -953,9 +957,10 @@ class VolumetricMapper:
                     if use_compact:
                         rows, cols = self._scroll_compact_rows(origin_blk,
                                                                prev=prev)
-                        if (rows is None or rows > self.REPLAY_ROWS
-                                or cols > self.REPLAY_COLS):
+                        if rows is None:
                             break  # teleport-scale scroll
+                        run_rows = max(run_rows, rows)
+                        run_cols = max(run_cols, cols)
                 fkey = _fence_key(pvt)
                 if fkey0 is None:
                     fkey0 = fkey
@@ -982,6 +987,8 @@ class VolumetricMapper:
                 i += 1
                 continue
             plan = plan[:run_len]
+            cr = run_rows if use_compact else None
+            cc = run_cols if use_compact else None
 
             t0 = time.perf_counter()
             n = len(plan)

@@ -10,7 +10,10 @@ and the gate levels the gated run actually took (observability: gate_level
 == len(menu) means full recompute, lower = smaller slab).
 
 Usage: python examples/bench_edt_gate_ab.py [--cases cow_lady,depthcam]
-       [--frames 20] [--reps 3]
+       [--frames 20] [--reps 3] [--variants gate|pmode]
+
+--variants pmode A/Bs the gate's P-test granularity instead
+(cfg.edt_gate_pmode "voxel" vs "block", gate ON in both arms).
 """
 import argparse
 import json
@@ -39,7 +42,7 @@ N_WARMUP = 2
 CHUNK = 20
 
 
-def build_case(case, gate, n_frames):
+def build_case(case, n_frames, **cfg_overrides):
     import jax.numpy as jnp
 
     from gie_mapping_tpu.models.mapper import VolumetricMapper
@@ -48,7 +51,7 @@ def build_case(case, gate, n_frames):
 
     overrides = dict(display_glb_edt=False, display_glb_ogm=False,
                      display_loc_edt=False, display_loc_ogm=False,
-                     edt_gate=gate)
+                     **cfg_overrides)
     if case in ("cow_lady", "ugv_corridor", "uav_raycast_fine"):
         overrides.update(max_raycast_points=16384, fuse_raycast=True)
     cfg = load_config(case, **overrides)
@@ -87,6 +90,8 @@ def main():
     ap.add_argument("--cases", default="cow_lady,depthcam")
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--variants", default="gate",
+                    choices=("gate", "pmode", "p1c", "combo"))
     args = ap.parse_args()
 
     from bench import _wait_for_backend
@@ -104,10 +109,24 @@ def main():
         lat.append(time.perf_counter() - t0)
     link_ms = float(np.median(lat)) * 1e3
 
+    if args.variants == "gate":
+        arms = {False: dict(edt_gate=False), True: dict(edt_gate=True)}
+    elif args.variants == "pmode":  # A = voxel P-pass, B = block-granular
+        arms = {False: dict(edt_gate=True, edt_gate_pmode="voxel"),
+                True: dict(edt_gate=True, edt_gate_pmode="block")}
+    elif args.variants == "p1c":    # A/B the phase-1 cache (block P both)
+        arms = {False: dict(edt_gate=True, edt_gate_pmode="block",
+                            edt_p1_cache=False),
+                True: dict(edt_gate=True, edt_gate_pmode="block",
+                           edt_p1_cache=True)}
+    else:                           # round-3 baseline vs full candidate set
+        arms = {False: dict(edt_gate=True),
+                True: dict(edt_gate=True, edt_gate_pmode="block",
+                           edt_p1_cache=True)}
     for case in args.cases.split(","):
         variants = {}
-        for gate in (False, True):
-            mapper, run, warm = build_case(case, gate, args.frames)
+        for gate, ovr in arms.items():
+            mapper, run, warm = build_case(case, args.frames, **ovr)
             for i in range(N_WARMUP):
                 warm(i)
             out = run(N_WARMUP, N_WARMUP + args.frames)
@@ -130,7 +149,8 @@ def main():
         best_off = min(times[False])
         best_on = min(times[True])
         print(json.dumps({
-            "metric": f"{case}_edt_gate_ab_ms_per_frame",
+            "metric": f"{case}_edt_{args.variants}_ab_ms_per_frame",
+            "arms": {"off": str(arms[False]), "on": str(arms[True])},
             "off": round(best_off, 3),
             "on": round(best_on, 3),
             "speedup": round(best_off / max(best_on, 1e-9), 3),

@@ -99,6 +99,37 @@ def audit_frame_memory(mk):
     return out
 
 
+def audit_arm_bytes(mk, arms):
+    """Frame-level cost_analysis bytes across gate-config arms.
+
+    lax.switch makes the ABSOLUTE number an all-branches sum (ROADMAP
+    round-2 caveat) — but every arm compiles the identical branch
+    structure, so pairwise DELTAS isolate what each knob removes (block:
+    the full-canvas dist_sq P read; p1c: the full-canvas phase-1 rescan,
+    minus the per-branch patch/full-p1 switch the sum re-adds)."""
+    import __graft_entry__ as ge
+    from gie_mapping_tpu.map_state import MapState
+    from gie_mapping_tpu.models.pipeline import merge_frame_impl
+
+    out = {}
+    for label, ovr in arms.items():
+        cfg = mk(edt_gate=True, **ovr)
+        gmap = MapState.create(cfg)
+        args = (gmap,) + ge._frame_inputs(cfg)
+        fn = functools.partial(merge_frame_impl, cfg=cfg,
+                               input_pointcloud=False)
+        c = jax.jit(fn, donate_argnums=(0,)).lower(*args).compile()
+        m = c.memory_analysis()
+        out[label] = {"bytes_mb": round(_bytes(c) / 1e6, 1),
+                      "temp_mb": round(m.temp_size_in_bytes / 1e6, 1),
+                      "alias_mb": round(m.alias_size_in_bytes / 1e6, 1)}
+    labels = list(arms)
+    for a, b in zip(labels, labels[1:]):
+        out[f"{b}_minus_{a}_mb"] = round(
+            out[b]["bytes_mb"] - out[a]["bytes_mb"], 1)
+    return out
+
+
 def main():
     backend = jax.default_backend()
     print("backend:", backend, file=sys.stderr)
@@ -107,11 +138,19 @@ def main():
         print(json.dumps({"case": name, "slab_bytes": audit_slab(shape)}),
               flush=True)
 
-    from gie_mapping_tpu.utils.config import cow_lady_config
+    from gie_mapping_tpu.utils.config import cow_lady_config, load_config
 
     print(json.dumps({"case": "cow_lady",
                       "frame_memory": audit_frame_memory(cow_lady_config)}),
           flush=True)
+    arms = {"voxel": dict(edt_gate_pmode="voxel"),
+            "block": dict(edt_gate_pmode="block"),
+            "block_p1c": dict(edt_gate_pmode="block", edt_p1_cache=True)}
+    for case in ("cow_lady", "depthcam", "ugv_corridor"):
+        mk = functools.partial(load_config, case)
+        print(json.dumps({"case": case,
+                          "pmode_frame_bytes": audit_arm_bytes(mk, arms)}),
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -145,6 +145,20 @@ def check_edt_slab():
                  for k in ("dist_sq", "coc", "valid"))
         print(f"{name}: slab==full {ok}")
         fails += not ok
+        # phase-1 cache arm: the compiled Pallas phase-1 word fed back in
+        # (cfg.edt_p1_cache) must reproduce the same slab bit-exactly
+        from gie_mapping_tpu.ops.edt_batch import phase1_packed
+        from gie_mapping_tpu.utils.constants import VOX_OCCUPIED
+
+        p1c = phase1_packed(glb == VOX_OCCUPIED, mw, pallas=True)
+        slab_c = batch_edt_slab(glb, jnp.int32(x0), jnp.int32(y0), sx=sx,
+                                sy=sy, max_width=mw, pallas=True, p1="pallas",
+                                mid=True, env_variant="fusepay",
+                                p1_packed=p1c)
+        okc = all(np.array_equal(np.asarray(slab_c[k]), np.asarray(slab[k]))
+                  for k in ("dist_sq", "coc", "valid"))
+        print(f"{name}: p1-cached slab==slab {okc}")
+        fails += not okc
     return fails
 
 
@@ -160,9 +174,11 @@ def check_gated_merge():
 
     rng = np.random.default_rng(5)
     results = []
-    for gate in (False, True):
+    for arm in ({"edt_gate": False}, {"edt_gate": True},
+                {"edt_gate": True, "edt_gate_pmode": "block",
+                 "edt_p1_cache": True}):
         cfg = cow_lady_config(display_glb_edt=False, display_glb_ogm=False,
-                              edt_gate=gate)
+                              **arm)
         g = MapState.create(cfg)
         M = cfg.max_ext_obs
         fence = (jnp.zeros((M, 3), jnp.float32), jnp.zeros((M, 3), jnp.float32),
@@ -188,11 +204,13 @@ def check_gated_merge():
                          int(out["gate_level"])))
         results.append(snap)
     ok = True
-    for i, (a, b) in enumerate(zip(*results)):
-        for j in range(5):
-            ok &= np.array_equal(a[j], b[j])
+    for snaps in zip(*results):          # (ungated, gated, gated-block+p1c)
+        for b in snaps[1:]:
+            for j in range(5):
+                ok &= np.array_equal(snaps[0][j], b[j])
     levels = [s[5] for s in results[1]]
-    print(f"gated merge == ungated (4 cow frames): {ok}  levels={levels}")
+    print(f"gated merge (voxel AND block+p1c arms) == ungated "
+          f"(4 cow frames): {ok}  levels={levels}")
     return int(not ok)
 
 

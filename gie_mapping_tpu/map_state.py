@@ -148,6 +148,14 @@ _PACKED_DEFAULT = np.asarray(
 )
 
 
+def _p1c_on(cfg) -> bool:
+    """Whether this config runs the gated EDT with the phase-1 cache (sizes
+    MapState.p1c; the pipeline's use must match — single source of truth)."""
+    from .models.pipeline import p1_cache_enabled  # lazy: no import cycle
+
+    return p1_cache_enabled(cfg)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class MapState:
@@ -165,6 +173,27 @@ class MapState:
     n_arch: jnp.ndarray      # int32
     a_packed: jnp.ndarray    # uint32 [B,512,3] packed voxel payload (see pack_voxels)
     arch_dropped: jnp.ndarray  # int32
+    # per-CELL (4x4x4 subblock) UPPER bound of stored dist_sq over observed
+    # voxels — the change-gated EDT's cell-granular affected-region test
+    # reads this tiny canvas/64 grid instead of the full dist_sq canvas
+    # (models/pipeline.py::_gated_canvas_merge, cfg.edt_gate_pmode="block").
+    # 4-voxel granularity keeps the affected bbox within +-3 voxels of the
+    # exact one (8-voxel blocks measurably pushed steady-state cow past the
+    # largest menu slab -> full recompute).  Conservative by invariant:
+    # EMPTY_VALUE (the max storable dist) wherever unknown/stale — scroll
+    # fills entering cells with it, checkpoint load resets it, and any
+    # inflation only grows the recompute slab (outputs stay bit-identical).
+    # Not serialized (checkpoints stay format v3).
+    dmax_cell: jnp.ndarray   # int32 [Xc/4, Yc/4, Zc/4]
+    # phase-1 cache for the change-gated EDT (cfg.edt_p1_cache): the packed
+    # per-voxel phase-1 word (ops/edt_batch.py::phase1_packed) of the CURRENT
+    # canvas occupancy.  Sites only change inside the window's flip bbox on
+    # non-scroll frames, so the merge patches the x-slab that covers it
+    # instead of rescanning the canvas; p1c_ok goes False on any scroll
+    # (the y site axis shifts) and the next merge rebuilds it in full.
+    # Shaped [1,1,1] when the feature is off; not serialized.
+    p1c: jnp.ndarray         # int32 [Xc,Yc,Zc] (or [1,1,1])
+    p1c_ok: jnp.ndarray      # bool scalar
 
     def tree_flatten(self):
         f = dataclasses.fields(self)
@@ -191,6 +220,10 @@ class MapState:
             n_arch=jnp.zeros((), jnp.int32),
             a_packed=jnp.broadcast_to(_PACKED_DEFAULT, (B, VB_SIZE_, 3)).copy(),
             arch_dropped=jnp.zeros((), jnp.int32),
+            dmax_cell=jnp.full(tuple(c // 4 for c in cs), EMPTY_VALUE,
+                               jnp.int32),
+            p1c=jnp.zeros(cs if _p1c_on(cfg) else (1, 1, 1), jnp.int32),
+            p1c_ok=jnp.zeros((), jnp.bool_),
         )
 
 
@@ -369,6 +402,14 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
 
     packed = shift_nd(packed, jnp.asarray(_PACKED_DEFAULT), sv, cs)
     present = shift_nd(state.present[..., None], False, shift_blk, cb)[..., 0]
+    # cell-granular dist bound rolls with the canvas (block shifts are
+    # multiples of 2 cells); entering/exposed cells get the conservative max
+    # (they are refreshed the same frame — the gate's entering slabs put
+    # them inside the recompute slab)
+    dmax_cell = shift_nd(state.dmax_cell[..., None], EMPTY_VALUE,
+                         shift_blk * 2, tuple(c // 4 for c in cs))[..., 0]
+    # the phase-1 cache's y site axis shifted: stale until the next merge
+    # rebuilds it (it is NOT rolled — scroll frames rescan in full anyway)
 
     # ---- 3. load entering blocks from the archive (one gather) ----------
     new_dir = _arch_directory(new_keys, n_arch, new_origin_blk, cb)
@@ -437,6 +478,8 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
         arch_keys=new_keys, n_arch=n_arch,
         a_packed=a_packed,
         arch_dropped=state.arch_dropped + dropped,
+        dmax_cell=dmax_cell,
+        p1c_ok=jnp.zeros((), jnp.bool_),
     )
 
 

@@ -22,7 +22,7 @@ from ..map_state import MapState, canvas_geometry
 from ..ops import raycast as rc
 from ..utils import geometry as geo
 from ..utils.config import MapConfig, DEFAULT_FENCE_LL, DEFAULT_FENCE_UR
-from ..utils.constants import VB_WIDTH, VOX_UNKNOWN
+from ..utils.constants import EMPTY_VALUE, VB_WIDTH, VOX_UNKNOWN
 from .pipeline import frame_step, merge_frame, scroll_frame_step, scroll_step
 
 
@@ -594,6 +594,13 @@ class VolumetricMapper:
             )
         kw = {k.split("/", 1)[1]: jnp.asarray(raw[k]) for k in raw.files
               if k.startswith("state/")}
+        # the per-cell dist bound and phase-1 cache are not serialized
+        # (format stays v3): reset both conservatively — the gate's first
+        # frame self-heals (full branch / full phase-1 rescan)
+        kw["dmax_cell"] = jnp.full(
+            tuple(c // 4 for c in self.cfg.canvas_size), EMPTY_VALUE,
+            jnp.int32)
+        kw["p1c_ok"] = jnp.zeros((), jnp.bool_)
         self.state = dc.replace(self.state, **kw)
         if self.mesh is not None:
             from ..parallel.mesh import shard_state

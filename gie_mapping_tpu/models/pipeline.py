@@ -60,6 +60,20 @@ def _slab_menu(canvas_size):
     return menu
 
 
+def p1_cache_enabled(cfg) -> bool:
+    """Whether this config maintains the phase-1 cache (MapState.p1c): the
+    gated canvas EDT must be active and the packed phase-1 word must fit.
+    Single source of truth for MapState.create's buffer sizing AND the
+    merge's use — a mesh additionally disables USE at merge time (the canvas
+    x axis is sharded; the cache path is single-device)."""
+    from ..ops.pallas.phase1 import phase1_fits
+
+    X, Y, Z = cfg.canvas_size
+    return (cfg.merge_mode == "canvas_edt" and cfg.edt_gate
+            and cfg.edt_p1_cache and Z > 1 and bool(_slab_menu(cfg.canvas_size))
+            and X * Y * Z >= cfg.edt_gate_min_vox and phase1_fits(Y))
+
+
 def _axis_lohi(mask1d, n):
     """(first, last) true index of a bool [n] (sentinels (n, -1) if none)."""
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -148,37 +162,75 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
         boxes_hi.append(hi)
         boxes_dead.append(s == 0)
 
-    # ---- P pass: one fused read of dist_sq + canvas_type ----------------
+    # ---- P pass ----------------------------------------------------------
+    # "voxel": one fused full-canvas read of dist_sq (+ the type read shared
+    # with fusion).  "block": the same box-distance test against the
+    # maintained per-cell (4^3) dist bound (MapState.dmax_cell) — no
+    # full-canvas read at all; conservative by at most one cell diameter
+    # per axis, so the slab can only grow and outputs stay bit-identical.
     big = jnp.int32(1 << 30)
-    bd = None
-    for lo, hi, dead in zip(boxes_lo, boxes_hi, boxes_dead):
-        parts = []
-        for a, n in enumerate(canvas_size):
-            idx = jnp.arange(n, dtype=jnp.int32)
-            d = jnp.maximum(jnp.maximum(lo[a] - idx, idx - hi[a]), 0)
-            d = jnp.minimum(d, jnp.int32(n))  # dead-box sentinel safety
-            parts.append(d * d)
-        b = (parts[0][:, None, None] + parts[1][None, :, None]
-             + parts[2][None, None, :])
-        b = jnp.where(dead, big, b)
-        bd = b if bd is None else jnp.minimum(bd, b)
 
-    observed_canvas = canvas_type != VOX_UNKNOWN
-    P = observed_canvas & (bd <= state.dist_sq)
-    if cfg.fast_mode:
-        # fast_mode write-back is window-gated (reference lower_inside is
-        # window-bounded): out-of-window voxels never change
-        P = P & window_mask
-    aff = P | _uncrop(jnp.zeros(canvas_size, jnp.bool_), chg, win_off)
+    def _box_dist_sq(axis_idx):
+        """min-over-boxes squared box distance on the given per-axis index
+        ranges: axis_idx[a] = (lo_idx, hi_idx) voxel spans per element."""
+        out = None
+        for lo, hi, dead in zip(boxes_lo, boxes_hi, boxes_dead):
+            parts = []
+            for a, n in enumerate(canvas_size):
+                ilo, ihi = axis_idx[a]
+                d = jnp.maximum(jnp.maximum(lo[a] - ihi, ilo - hi[a]), 0)
+                d = jnp.minimum(d, jnp.int32(n))  # dead-box sentinel safety
+                parts.append(d * d)
+            b = (parts[0][:, None, None] + parts[1][None, :, None]
+                 + parts[2][None, None, :])
+            b = jnp.where(dead, big, b)
+            out = b if out is None else jnp.minimum(out, b)
+        return out
 
     # zero-site epochs invalidate the induction (stored pairs survive the
     # no-obstacle frames unrefreshed): force the full branch around them
+    # (the any-reduces fuse into the canvas_type uncrop write)
     any_site_new = jnp.any(canvas_type == VOX_OCCUPIED)
     any_site_old = jnp.any(old_type == VOX_OCCUPIED)
     force_full = ~(any_site_new & any_site_old)
 
-    x0, x1 = _axis_lohi(jnp.any(aff, axis=(1, 2)), X)
-    y0, y1 = _axis_lohi(jnp.any(aff, axis=(0, 2)), Y)
+    G = 4  # dmax_cell granularity (see MapState.dmax_cell)
+    if cfg.edt_gate_pmode == "block":
+        cgrid = tuple(c // G for c in canvas_size)
+        cidx = [(jnp.arange(n, dtype=jnp.int32) * G,
+                 jnp.arange(n, dtype=jnp.int32) * G + (G - 1)) for n in cgrid]
+        P_cell = _box_dist_sq(cidx) <= state.dmax_cell
+        if cfg.fast_mode:
+            # fast_mode write-back is window-gated: only cells overlapping
+            # the window can change
+            ov = []
+            for a, n in enumerate(cgrid):
+                clo, chi_ = cidx[a]
+                ov.append((clo <= win_off[a] + local_size[a] - 1)
+                          & (chi_ >= win_off[a]))
+            P_cell = (P_cell & ov[0][:, None, None] & ov[1][None, :, None]
+                      & ov[2][None, None, :])
+        bx_lo, bx_hi = _axis_lohi(jnp.any(P_cell, axis=(1, 2)), cgrid[0])
+        by_lo, by_hi = _axis_lohi(jnp.any(P_cell, axis=(0, 2)), cgrid[1])
+        # chg lives in the window: union its (window-reduce) bbox in
+        cx_lo, cx_hi = _axis_lohi(jnp.any(chg, axis=(1, 2)), local_size[0])
+        cy_lo, cy_hi = _axis_lohi(jnp.any(chg, axis=(0, 2)), local_size[1])
+        x0 = jnp.minimum(bx_lo * G, cx_lo + win_off[0])
+        x1 = jnp.maximum(bx_hi * G + (G - 1), cx_hi + win_off[0])
+        y0 = jnp.minimum(by_lo * G, cy_lo + win_off[1])
+        y1 = jnp.maximum(by_hi * G + (G - 1), cy_hi + win_off[1])
+    else:
+        vidx = [(jnp.arange(n, dtype=jnp.int32),) * 2 for n in canvas_size]
+        bd = _box_dist_sq(vidx)
+        observed_canvas = canvas_type != VOX_UNKNOWN
+        P = observed_canvas & (bd <= state.dist_sq)
+        if cfg.fast_mode:
+            # fast_mode write-back is window-gated (reference lower_inside is
+            # window-bounded): out-of-window voxels never change
+            P = P & window_mask
+        aff = P | _uncrop(jnp.zeros(canvas_size, jnp.bool_), chg, win_off)
+        x0, x1 = _axis_lohi(jnp.any(aff, axis=(1, 2)), X)
+        y0, y1 = _axis_lohi(jnp.any(aff, axis=(0, 2)), Y)
     need_x = jnp.maximum(x1 - x0 + 1, 0)
     need_y = jnp.maximum(y1 - y0 + 1, 0)
 
@@ -187,6 +239,44 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
         fits = (need_x <= menu[k][0]) & (need_y <= menu[k][1])
         sel = jnp.where(fits, jnp.int32(k), sel)
     sel = jnp.where(force_full, jnp.int32(n_menu), sel)
+
+    # ---- phase-1 cache update (cfg.edt_p1_cache) -------------------------
+    # Sites change only inside the site-flip x-bbox on non-scroll frames
+    # (fusion writes the window; FNT marks never touch OCCUPIED), so the
+    # cached packed phase-1 word is patched over the covering x-slab; any
+    # scroll clears p1c_ok (_do_scroll — the y site axis shifted) and the
+    # full branch below rebuilds it.  Validity is INDEPENDENT of the EDT
+    # slab choice: even force-full frames leave the patched cache exact.
+    use_p1c = p1_cache_enabled(cfg) and mesh is None
+    p1c_new = state.p1c
+    if use_p1c:
+        from ..ops.edt_batch import phase1_packed
+
+        mw = sum(canvas_size)
+        fx_menu = [sx for sx, _ in _slab_menu(canvas_size)]
+        pneed = jnp.maximum(fhi[0] - flo[0] + 1, 0)
+        psel = jnp.int32(len(fx_menu))
+        for k in range(len(fx_menu) - 1, -1, -1):
+            psel = jnp.where(pneed <= fx_menu[k], jnp.int32(k), psel)
+        psel = jnp.where(state.p1c_ok, psel, jnp.int32(len(fx_menu)))
+
+        def mk_patch(FX):
+            def br(p1ops):
+                p1c, ct = p1ops
+                o = jnp.clip(flo[0] // 8 * 8, 0, X - FX)
+                occ_s = jax.lax.dynamic_slice(
+                    ct, (o, 0, 0), (FX, Y, Z)) == VOX_OCCUPIED
+                return jax.lax.dynamic_update_slice(
+                    p1c, phase1_packed(occ_s, mw), (o, 0, 0))
+            return br
+
+        def full_p1(p1ops):
+            _p1c, ct = p1ops
+            return phase1_packed(ct == VOX_OCCUPIED, mw)
+
+        p1c_new = jax.lax.switch(
+            psel, [mk_patch(f) for f in fx_menu] + [full_p1],
+            (state.p1c, canvas_type))
 
     # ---- branches --------------------------------------------------------
     ekw = dict(max_width=sum(canvas_size), env_variant=cfg.edt_env_variant,
@@ -213,12 +303,14 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
 
     def make_gated(SX, SY):
         def branch(ops):
-            dist_state, coc_state, ctype, pvox, bx0, by0, woff = ops
+            dist_state, coc_state, ctype, pvox, bx0, by0, woff, dmax = ops
             ox = jnp.clip(bx0 // 8 * 8, 0, X - SX)
             oy = jnp.clip(by0 // 8 * 8, 0, Y - SY)
             if mesh is None:
                 slab = batch_edt_slab(ctype, ox, oy, sx=SX, sy=SY,
-                                      mid=cfg.edt_mid, **ekw)
+                                      mid=cfg.edt_mid,
+                                      p1_packed=p1c_new if use_p1c else None,
+                                      **ekw)
             else:
                 slab = batch_edt_sharded_slab(ctype, oy, sy=SY, mesh=mesh,
                                               **ekw)
@@ -233,12 +325,12 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
                      & (si[2] >= woff[2]) & (si[2] < woff[2] + local_size[2]))
             dist_state_s = sl(dist_state)
             coc_state_s = sl(coc_state)
+            obs_s = sl(ctype) != VOX_UNKNOWN
             # (the pre-take crops equal the final crops on every voxel the
             # observed-masked outputs expose — gated branches only run when
             # sites exist; see the zero-site force-full guard)
             fin_d, fin_c, _, _ = finalize_slab(
-                dist_state_s, coc_state_s, slab,
-                sl(ctype) != VOX_UNKNOWN, sl(pvox), win_s)
+                dist_state_s, coc_state_s, slab, obs_s, sl(pvox), win_s)
             final_dist = jax.lax.dynamic_update_slice(dist_state, fin_d,
                                                       (ox, oy, 0))
             final_coc = jax.lax.dynamic_update_slice(coc_state, fin_c,
@@ -249,39 +341,51 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
             changed = jax.lax.dynamic_update_slice(
                 jnp.zeros(cfg.canvas_blocks, jnp.bool_), chg_blk,
                 (ox // 8, oy // 8, 0))
+            # per-cell dist bound over the slab (fuses with the chg_blk
+            # reduce's read of fin_d); outside the slab neither dist nor
+            # observedness changed, so the stored bound stays valid
+            dm_s = jnp.max(
+                jnp.where(obs_s, fin_d, -1).reshape(SX // 4, 4, SY // 4, 4,
+                                                    Z // 4, 4), axis=(1, 3, 5))
+            new_dmax = jax.lax.dynamic_update_slice(dmax, dm_s,
+                                                    (ox // 4, oy // 4, 0))
             dist_win = _crop(final_dist, woff, local_size)
             coc_win = _crop(final_coc, woff, local_size)
             return (final_dist, final_coc, dist_win, coc_win, changed,
-                    jnp.int32(SX * SY * Z))
+                    jnp.int32(SX * SY * Z), new_dmax)
         return branch
 
     def full_branch(ops):
-        dist_state, coc_state, ctype, pvox, _bx0, _by0, woff = ops
+        dist_state, coc_state, ctype, pvox, _bx0, _by0, woff, dmax = ops
         if mesh is None:
             full = batch_edt(ctype, mid=cfg.edt_mid, **ekw)
         else:
             full = batch_edt_sharded(ctype, mesh=mesh, **ekw)
         win_s = window_mask
+        obs = ctype != VOX_UNKNOWN
         fin_d, fin_c, dist_pre, coc_pre = finalize_slab(
-            dist_state, coc_state, full, ctype != VOX_UNKNOWN, pvox, win_s)
+            dist_state, coc_state, full, obs, pvox, win_s)
         changed = jnp.any(
             (fin_d != dist_state).reshape(
                 X // 8, 8, Y // 8, 8, Z // 8, 8), axis=(1, 3, 5))
+        new_dmax = jnp.max(
+            jnp.where(obs, fin_d, -1).reshape(X // 4, 4, Y // 4, 4,
+                                              Z // 4, 4), axis=(1, 3, 5))
         # the full branch covers the zero-site frames, where pre-take and
         # final window values can differ at observed voxels: report the
         # TRUE pre-take crops (exactly the ungated path's dist_win)
         dist_win = _crop(dist_pre, woff, local_size)
         coc_win = _crop(coc_pre, woff, local_size)
         return (fin_d, fin_c, dist_win, coc_win, changed,
-                jnp.int32(X * Y * Z))
+                jnp.int32(X * Y * Z), new_dmax)
 
     branches = [make_gated(sx, sy) for sx, sy in menu] + [full_branch]
     ops = (state.dist_sq, state.coc, canvas_type, present_vox_canvas,
-           x0, y0, win_off)
+           x0, y0, win_off, state.dmax_cell)
     (final_dist, final_coc, dist_win, coc_win, changed_blk_d,
-     slab_vox) = jax.lax.switch(sel, branches, ops)
+     slab_vox, dmax_new) = jax.lax.switch(sel, branches, ops)
     return (final_dist, final_coc, dist_win, coc_win, changed_blk_d,
-            sel, slab_vox)
+            sel, slab_vox, dmax_new, p1c_new, jnp.asarray(use_p1c))
 
 
 def _crop(arr, off, shape):
@@ -447,7 +551,7 @@ def merge_frame_impl(
             win_off, window_mask, present_vox_canvas, enter_shift, cfg=cfg,
             mesh=mesh)
         (final_dist, final_coc, dist_win_g, coc_win_g, changed_blk_d,
-         gate_level, slab_vox) = gated
+         gate_level, slab_vox, dmax_new, p1c_new, p1c_ok_new) = gated
         relax_iters = jnp.int32(0)
     elif cfg.merge_mode == "canvas_edt":
         # ---- one exact separable EDT over the whole canvas --------------
@@ -631,6 +735,15 @@ def merge_frame_impl(
         dist_sq=final_dist,
         coc=final_coc,
         present=present,
+        # per-cell dist bound: maintained by the gated branches; reset to
+        # the conservative max on ungated paths (nothing reads it there, and
+        # a later gated run self-heals from it via the full branch)
+        dmax_cell=(dmax_new if gated is not None
+                   else jnp.full(tuple(c // 4 for c in canvas_size),
+                                 EMPTY_VALUE, jnp.int32)),
+        p1c=p1c_new if gated is not None else state.p1c,
+        p1c_ok=(p1c_ok_new if gated is not None
+                else jnp.zeros((), jnp.bool_)),
     )
 
     # published cocs are GLOBAL int32 (the stored canvas-relative int16 plus

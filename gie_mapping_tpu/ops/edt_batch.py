@@ -67,6 +67,37 @@ def _phase1_along_y(occ, max_width):
     return g1, coc_y, valid
 
 
+def phase1_packed_xla(occ, max_width: int):
+    """XLA twin of ops/pallas/phase1.py::phase1_packed_pallas — the SAME
+    packed word, bit for bit:
+
+        packed = valid ? (g1^2 << (yb+1)) | (coc_y << 1) | 1 : 0
+
+    Exists so the phase-1 CACHE (models/pipeline.py::_gated_canvas_merge,
+    cfg.edt_p1_cache) has one canonical representation on every backend:
+    the Pallas kernel produces it on TPU, this on CPU (and both are pinned
+    against each other in tests/test_phase1_pallas.py)."""
+    from .pallas.phase1 import phase1_pack_bits
+
+    yb = phase1_pack_bits(occ.shape[1])
+    g1, coc_y, valid = _phase1_along_y(occ, max_width)
+    g1c = jnp.where(valid, g1, 0)
+    cocc = jnp.where(valid, coc_y, 0)
+    return jnp.where(valid, ((g1c * g1c) << (yb + 1)) | (cocc << 1) | 1, 0)
+
+
+def phase1_packed(occ, max_width: int, pallas: bool | None = None):
+    """Packed phase-1 word via the Pallas scan kernel (TPU) or its XLA twin."""
+    if pallas is None:
+        pallas = _use_pallas()
+    if pallas:
+        from .pallas.phase1 import phase1_fits, phase1_packed_pallas
+
+        if phase1_fits(occ.shape[1]):
+            return phase1_packed_pallas(occ, max_width)
+    return phase1_packed_xla(occ, max_width)
+
+
 def lower_envelope(fsq, payloads=(), chunk: int = 8,
                    packed_out: bool = False):
     """Exact lower envelope min_i ((x-i)^2 + fsq[i]) along axis 0.
@@ -356,7 +387,7 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = No
 def batch_edt_slab(glb_type, x0, y0, *, sx: int, sy: int, max_width: int,
                    chunk: int = 8, pallas: bool | None = None,
                    mid: bool | None = None, env_variant: str = "base",
-                   p1: str = "xla"):
+                   p1: str = "xla", p1_packed=None):
     """batch_edt restricted to the output slab [x0:x0+sx, y0:y0+sy, :].
 
     The change-gated merge (models/pipeline.py) recomputes the exact EDT
@@ -375,6 +406,11 @@ def batch_edt_slab(glb_type, x0, y0, *, sx: int, sy: int, max_width: int,
     Args:
       x0, y0: dynamic slab offsets (int32 scalars; caller clamps so the
         slab fits the canvas).  sx, sy: static slab extents.
+      p1_packed: optional precomputed packed phase-1 word [X, Y, Z]
+        (phase1_packed / the mapper's phase-1 cache, cfg.edt_p1_cache).
+        Must equal phase1_packed(glb_type == OCCUPIED) — the caller owns
+        that invariant; phase 1 is then skipped entirely and only the
+        y-slab of the cache is read.
     Returns {"dist_sq","coc","valid"} shaped [sx, sy, Z] (coc values are
     CANVAS coordinates, exactly as batch_edt returns them).
     """
@@ -417,7 +453,21 @@ def batch_edt_slab(glb_type, x0, y0, *, sx: int, sy: int, max_width: int,
     tzy = lambda a: jnp.transpose(a, (0, 2, 1))
 
     # ---- phase 1: full canvas; slice the y lanes feeding phase 2 --------
-    if env_packed is not None:
+    if p1_packed is not None:
+        # caller-maintained cache: phase 1 never runs; read only the y-slab
+        from .pallas.phase1 import phase1_pack_bits
+
+        yb = phase1_pack_bits(Y)
+        ib2 = _env_idx_bits(X)
+        pp = tzy(ysl(p1_packed))                    # [X, Z, sy]
+        if env_packed is not None:
+            pk2, pay2t = env_packed(pp, yb)
+        else:
+            # unpack feeds the plain envelope (fuses into its first read):
+            # f = g1sq where valid else BIG; payload = (coc_y << 1) | valid
+            f2 = jnp.where((pp & 1) > 0, pp >> (yb + 1), _BIG)
+            pk2, pay2t = env(f2, (pp & ((1 << (yb + 1)) - 1),))
+    elif env_packed is not None:
         from .pallas.phase1 import phase1_pack_bits, phase1_packed_pallas
 
         yb = phase1_pack_bits(Y)

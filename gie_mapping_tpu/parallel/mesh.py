@@ -76,6 +76,9 @@ def shard_state(state, mesh: Mesh):
         n_arch=put(state.n_arch, rs),
         a_packed=put(state.a_packed, ps),
         arch_dropped=put(state.arch_dropped, rs),
+        dmax_cell=put(state.dmax_cell, rs),  # tiny cell grid
+        p1c=put(state.p1c, rs),      # unused under a mesh (pipeline gates it)
+        p1c_ok=put(state.p1c_ok, rs),
     )
 
 

@@ -165,6 +165,23 @@ class MapConfig:
     # while the CPU test suite's size-reduced configs (<= ~250k) stay on
     # the single-EDT path; tests that pin the gate itself set 0
     edt_gate_min_vox: int = 256000
+    # affected-region (P) test granularity for the gate:
+    #   "voxel" — one fused full-canvas pass: box-distance vs the stored
+    #             dist_sq of every observed voxel (round-3 original).
+    #   "block" — the test runs on the maintained per-cell dist bound
+    #             (MapState.dmax_cell, 4x4x4 max over observed voxels): no
+    #             full-canvas read at all; the bound is conservative by at
+    #             most one cell diameter, so the slab can only grow (by a
+    #             few voxels) and outputs stay bit-identical
+    #             (tests/test_edt_gate.py).
+    edt_gate_pmode: str = "voxel"
+    # phase-1 cache for the gated EDT (MapState.p1c): sites change only
+    # inside the window's flip bbox on non-scroll frames, so phase 1 is
+    # PATCHED over the covering x-slab instead of rescanned over the canvas
+    # (scroll/teleport frames rebuild in full — the y site axis shifted).
+    # Bit-identical outputs (tests/test_edt_gate.py); single-device gated
+    # path only (a mesh ignores it).
+    edt_p1_cache: bool = False
     max_relax_iters: Optional[int] = None  # cap on fixed-point sweeps (None=auto)
     stream_max_blocks: Optional[int] = None  # compaction size for D2H streaming
     stream_k_cols: Optional[int] = None  # per-tick streamed block-column cap
@@ -191,6 +208,9 @@ class MapConfig:
         if self.edt_phase1 not in ("xla", "pallas"):
             raise ValueError(f"edt_phase1 {self.edt_phase1!r} not in "
                              "('xla', 'pallas')")
+        if self.edt_gate_pmode not in ("voxel", "block"):
+            raise ValueError(f"edt_gate_pmode {self.edt_gate_pmode!r} not in "
+                             "('voxel', 'block')")
         if not self.fast_mode:
             cutoff = int(math.ceil(self.cutoff_dist / self.voxel_width))
             if cutoff > MAX_HALO_GRIDS:

@@ -30,11 +30,13 @@ STATE_FIELDS = ("vox_type", "dist_sq", "coc", "occ_val", "present",
 SKIP_KEYS = ("gate_level", "gate_slab_vox")
 
 
-def _cfg(gate, fast=False, cutoff=2.0):
+def _cfg(gate, fast=False, cutoff=2.0, pmode="voxel"):
+    pmode, _, extra = pmode.partition("+")
     return scan2d_config(local_size_m=(3.2, 3.2, 1.6), voxel_width=0.2,
                          fast_mode=fast, cutoff_dist=cutoff, max_blocks=2048,
                          for_motion_planner=False, edt_gate=gate,
-                         edt_gate_min_vox=0)
+                         edt_gate_min_vox=0, edt_gate_pmode=pmode,
+                         edt_p1_cache=extra == "p1c")
 
 
 def _fence(cfg):
@@ -55,16 +57,43 @@ def _step(cfg, gmap, inst, pvt):
     return gmap, {k: np.asarray(v) for k, v in out.items()}
 
 
-def _run_scenario(frames, fast=False, cutoff=2.0):
+def _dmax_invariant(g):
+    """dmax_cell must upper-bound the stored dist_sq of every observed voxel
+    (the cell-granular P test's soundness condition)."""
+    d = np.asarray(g.dist_sq)
+    obs = np.asarray(g.vox_type) != VOX_UNKNOWN
+    X, Y, Z = d.shape
+    true_max = np.where(obs, d, -1).reshape(
+        X // 4, 4, Y // 4, 4, Z // 4, 4).max((1, 3, 5))
+    assert (np.asarray(g.dmax_cell) >= true_max).all()
+
+
+def _p1c_invariant(g, cfg):
+    """After every gated merge the phase-1 cache must hold EXACTLY the
+    packed phase-1 word of the stored occupancy (p1c_ok is re-established
+    each frame: any scroll clears it, the merge's full branch rebuilds)."""
+    from gie_mapping_tpu.ops.edt_batch import phase1_packed_xla
+
+    assert bool(g.p1c_ok)
+    occ = jnp.asarray(np.asarray(g.vox_type)) == VOX_OCCUPIED
+    want = np.asarray(phase1_packed_xla(occ, sum(cfg.canvas_size)))
+    np.testing.assert_array_equal(np.asarray(g.p1c), want)
+
+
+def _run_scenario(frames, fast=False, cutoff=2.0, pmode="voxel"):
     """frames: list of (inst_fn(local_size)->int8 array, pvt).  Returns the
     gate levels taken; asserts gated == ungated bitwise each frame."""
     results = []
     for gate in (False, True):
-        cfg = _cfg(gate, fast=fast, cutoff=cutoff)
+        cfg = _cfg(gate, fast=fast, cutoff=cutoff, pmode=pmode)
         g = MapState.create(cfg)
         outs, states = [], []
         for inst_fn, pvt in frames:
             g, out = _step(cfg, g, inst_fn(cfg.local_size), pvt)
+            if gate and pmode.startswith("block"):
+                _dmax_invariant(g)
+            if gate and pmode.endswith("p1c"):
+                _p1c_invariant(g, cfg)
             outs.append(out)
             states.append({f: np.asarray(getattr(g, f))
                            for f in STATE_FIELDS})
@@ -103,7 +132,8 @@ def test_menu_nonempty():
     assert menu == sorted(menu)
 
 
-def test_static_and_appearing_obstacles():
+@pytest.mark.parametrize("pmode", ["voxel", "block", "block+p1c"])
+def test_static_and_appearing_obstacles(pmode):
     frames = [
         (_with(_free, [8, 8, 4]), [0, 0, 0]),
         (_with(_free, [8, 8, 4]), [0, 0, 0]),        # static: tiny slab
@@ -113,13 +143,14 @@ def test_static_and_appearing_obstacles():
         (_with(_free, [15, 1, 7]), [0, 0, 0]),       # reappears far (epoch!)
         (_with(_free, [15, 1, 7]), [0, 0, 0]),
     ]
-    levels = _run_scenario(frames)
+    levels = _run_scenario(frames, pmode=pmode)
     n_menu = len(_slab_menu(_cfg(True).canvas_size))
     assert levels[4] == n_menu or levels[5] == n_menu  # zero-site force-full
     assert min(levels) < n_menu  # gating engaged somewhere
 
 
-def test_unknown_transitions():
+@pytest.mark.parametrize("pmode", ["voxel", "block", "block+p1c"])
+def test_unknown_transitions(pmode):
     def half_unknown(shape):
         inst = _free(shape)
         inst[: shape[0] // 2] = VOX_UNKNOWN
@@ -129,10 +160,11 @@ def test_unknown_transitions():
         (_with(_free, [12, 8, 4]), [0, 0, 0]),   # half becomes observed
         (_with(_free, [12, 8, 4]), [0, 0, 0]),
     ]
-    _run_scenario(frames)
+    _run_scenario(frames, pmode=pmode)
 
 
-def test_scrolls_axis_diagonal_z_and_teleport():
+@pytest.mark.parametrize("pmode", ["voxel", "block", "block+p1c"])
+def test_scrolls_axis_diagonal_z_and_teleport(pmode):
     frames = [
         (_with(_free, [8, 8, 4]), [0, 0, 0]),
         (_with(_free, [0, 8, 4]), [8, 0, 0]),    # +x scroll
@@ -143,10 +175,11 @@ def test_scrolls_axis_diagonal_z_and_teleport():
         (_free, [8, 8, 4]),                      # teleport back: re-entry
         (_with(_free, [4, 4, 2]), [8, 8, 4]),
     ]
-    _run_scenario(frames)
+    _run_scenario(frames, pmode=pmode)
 
 
-def test_keep_old_memory_journey():
+@pytest.mark.parametrize("pmode", ["voxel", "block", "block+p1c"])
+def test_keep_old_memory_journey(pmode):
     """Out-of-canvas coc memory (keep_old) across archive + re-entry: the
     long-cutoff journey of tests/test_long_cutoff.py under the gate."""
     def place(x):
@@ -158,21 +191,23 @@ def test_keep_old_memory_journey():
         (_free, [36, 0, 0]),
         (_with(_free, [12, 8, 4]), [8, 0, 0]),  # re-entry + new obstacle glb 20
     ]
-    _run_scenario(frames)
+    _run_scenario(frames, pmode=pmode)
 
 
-def test_fast_mode_window_gating():
+@pytest.mark.parametrize("pmode", ["voxel", "block", "block+p1c"])
+def test_fast_mode_window_gating(pmode):
     frames = [
         (_with(_free, [14, 8, 4]), [0, 0, 0]),
         (_free, [8, 0, 0]),        # obstacle observed removed; v outside win
         (_with(_free, [2, 2, 2]), [8, 0, 0]),
         (_free, [0, 0, 0]),
     ]
-    _run_scenario(frames, fast=True, cutoff=100.0)
+    _run_scenario(frames, fast=True, cutoff=100.0, pmode=pmode)
 
 
+@pytest.mark.parametrize("pmode", ["voxel", "block", "block+p1c"])
 @pytest.mark.parametrize("seed", [1, 2, 3])
-def test_fuzz_random_worlds(seed):
+def test_fuzz_random_worlds(seed, pmode):
     rng = np.random.default_rng(seed)
     frames = []
     pvt = np.zeros(3, int)
@@ -190,7 +225,7 @@ def test_fuzz_random_worlds(seed):
                 inst[:, : 4 * k] = VOX_UNKNOWN
                 return inst
         frames.append((_with(base, *voxels), pvt.copy()))
-    _run_scenario(frames)
+    _run_scenario(frames, pmode=pmode)
 
 
 # ---------------------------------------------------------------------------

@@ -114,15 +114,15 @@ def main():
     elif args.variants == "pmode":  # A = voxel P-pass, B = block-granular
         arms = {False: dict(edt_gate=True, edt_gate_pmode="voxel"),
                 True: dict(edt_gate=True, edt_gate_pmode="block")}
-    elif args.variants == "p1c":    # A/B the phase-1 cache (block P both)
-        arms = {False: dict(edt_gate=True, edt_gate_pmode="block",
-                            edt_p1_cache=False),
-                True: dict(edt_gate=True, edt_gate_pmode="block",
-                           edt_p1_cache=True)}
-    else:                           # round-3 baseline vs full candidate set
+    elif args.variants == "p1c":    # A/B the phase-1 cache in isolation
+        arms = {False: dict(edt_gate=True, edt_p1_cache=False),
+                True: dict(edt_gate=True, edt_p1_cache=True)}
+    else:                           # round-3 default vs the p1c candidate
+        # (pmode "block" measured as a dead end: its cell-test slack pushed
+        # the steady-state cow bbox past the largest menu slab -> full
+        # recompute every frame; docs/ROADMAP.md "measured dead ends")
         arms = {False: dict(edt_gate=True),
-                True: dict(edt_gate=True, edt_gate_pmode="block",
-                           edt_p1_cache=True)}
+                True: dict(edt_gate=True, edt_p1_cache=True)}
     for case in args.cases.split(","):
         variants = {}
         for gate, ovr in arms.items():

@@ -33,6 +33,10 @@ PAYLOADS = [
     # round-3: change-gated EDT quiet-window verdict (the flip/revert check)
     ("gate_ab", [sys.executable, os.path.join(HERE, "bench_edt_gate_ab.py")],
      {}),
+    # round-3b: phase-1 cache quiet verdict (default-flip evidence)
+    ("gate_p1c_ab",
+     [sys.executable, os.path.join(HERE, "bench_edt_gate_ab.py"),
+      "--variants", "p1c", "--cases", "cow_lady,depthcam"], {}),
     # round-3: padded-capacity sensitivity of the pointcloud path
     ("raycast_capacity_ab",
      [sys.executable, os.path.join(HERE, "bench_raycast_capacity_ab.py")],

@@ -118,6 +118,14 @@ def main():
     ap.add_argument("--gate", choices=["on", "off"], default=None,
                     help="override cfg.edt_gate (change-gated canvas EDT: "
                          "recompute only the affected slab per frame)")
+    ap.add_argument("--gate-pmode", choices=["voxel", "block"], default=None,
+                    help="override cfg.edt_gate_pmode (affected-region test "
+                         "granularity; 'block' uses the maintained per-cell "
+                         "dist bound instead of a full-canvas read)")
+    ap.add_argument("--p1-cache", choices=["on", "off"], default=None,
+                    help="override cfg.edt_p1_cache (patch the cached packed "
+                         "phase-1 word over the flip bbox instead of "
+                         "rescanning the canvas on non-scroll frames)")
     ap.add_argument("--batch", type=int, default=0, metavar="K",
                     help="scanned-replay mode: dispatch frames as lax.scan "
                          "chunks of K (process_*_batch; bit-identical to the "
@@ -152,6 +160,10 @@ def main():
         cfg = cfg.replace(edt_mid=(args.mid == "on"))
     if args.gate is not None:
         cfg = cfg.replace(edt_gate=(args.gate == "on"))
+    if args.gate_pmode is not None:
+        cfg = cfg.replace(edt_gate_pmode=args.gate_pmode)
+    if args.p1_cache is not None:
+        cfg = cfg.replace(edt_p1_cache=(args.p1_cache == "on"))
     if args.batch and args.profile:
         # the RMSE ground-truth checker needs per-frame host data, which the
         # scanned replay doesn't surface — profile runs stay per-frame

@@ -403,10 +403,13 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
     packed = shift_nd(packed, jnp.asarray(_PACKED_DEFAULT), sv, cs)
     present = shift_nd(state.present[..., None], False, shift_blk, cb)[..., 0]
     # cell-granular dist bound rolls with the canvas (block shifts are
-    # multiples of 2 cells); entering/exposed cells get the conservative max
-    # (they are refreshed the same frame — the gate's entering slabs put
-    # them inside the recompute slab)
-    dmax_cell = shift_nd(state.dmax_cell[..., None], EMPTY_VALUE,
+    # multiples of 2 cells).  Exposed cells whose content resets to UNKNOWN
+    # get -1 (unobserved voxels never enter the P test — leaving the
+    # conservative max here made every later frame's affected bbox span to
+    # the canvas edge); archive-restored cells get the conservative max
+    # below and are refreshed the same frame (the gate's entering slabs put
+    # them inside the recompute slab).
+    dmax_cell = shift_nd(state.dmax_cell[..., None], -1,
                          shift_blk * 2, tuple(c // 4 for c in cs))[..., 0]
     # the phase-1 cache's y site axis shifted: stale until the next merge
     # rebuilds it (it is NOT rolled — scroll frames rescan in full anyway)
@@ -415,6 +418,12 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
     new_dir = _arch_directory(new_keys, n_arch, new_origin_blk, cb)
     entering = ~present & (new_dir >= 0)
     gslot = jnp.where(entering, new_dir, 0).reshape(-1)
+    # restored blocks carry real (dist, coc) content: conservative max until
+    # the gate's entering-slab recompute refreshes their cells this frame
+    ent2 = entering
+    for ax in range(3):
+        ent2 = jnp.repeat(ent2, 2, axis=ax)
+    dmax_cell = jnp.where(ent2, jnp.int32(EMPTY_VALUE), dmax_cell)
 
     nb = gslot.shape[0]
     # entering rows re-anchor block-relative -> new-canvas-relative

@@ -134,7 +134,7 @@ def main():
             variants[gate] = (mapper, run)
 
         times = {False: [], True: []}
-        levels = []
+        levels = {False: [], True: []}
         for rep in range(args.reps):
             for gate in (False, True):
                 mapper, run = variants[gate]
@@ -144,8 +144,7 @@ def main():
                 times[gate].append(
                     ((time.perf_counter() - t0) * 1e3 - link_ms)
                     / args.frames)
-                if gate:
-                    levels.append(int(np.asarray(out.device("gate_level"))))
+                levels[gate].append(int(np.asarray(out.device("gate_level"))))
         best_off = min(times[False])
         best_on = min(times[True])
         print(json.dumps({
@@ -156,7 +155,8 @@ def main():
             "speedup": round(best_off / max(best_on, 1e-9), 3),
             "passes_off": [round(t, 2) for t in times[False]],
             "passes_on": [round(t, 2) for t in times[True]],
-            "gate_level_last": levels,
+            "gate_level_last": levels[True],
+            "gate_level_last_off_arm": levels[False],
             "link_ms": round(link_ms, 2),
         }), flush=True)
 

@@ -269,16 +269,20 @@ def test_batch_edt_slab_empty_canvas():
 # ---------------------------------------------------------------------------
 
 
-def _mapper_cfg(gate):
+def _mapper_cfg(gate, **kw):
     return scan2d_config(local_size_m=(3.2, 3.2, 1.6), voxel_width=0.2,
                          fast_mode=False, cutoff_dist=2.0, max_blocks=2048,
                          for_motion_planner=False, edt_gate=gate,
                          edt_gate_min_vox=0,
                          max_raycast_points=512, fuse_raycast=True,
-                         display_glb_edt=False, display_glb_ogm=False)
+                         display_glb_edt=False, display_glb_ogm=False, **kw)
 
 
-def test_mapper_and_replay_paths_match():
+@pytest.mark.parametrize("extra", [{}, {"edt_p1_cache": True}])
+def test_mapper_and_replay_paths_match(extra):
+    """Per-frame vs scanned-replay equality, ungated vs gated (and gated
+    with the phase-1 cache: the in-scan compacted scroll must clear
+    p1c_ok through the lax.cond and the next merge must rebuild)."""
     from gie_mapping_tpu.models.mapper import VolumetricMapper
     from gie_mapping_tpu.runtime.datasets import BoxWorld, circular_trajectory
 
@@ -289,7 +293,7 @@ def test_mapper_and_replay_paths_match():
 
     finals = []
     for gate in (False, True):
-        cfg = _mapper_cfg(gate)
+        cfg = _mapper_cfg(gate, **(extra if gate else {}))
         m = VolumetricMapper(cfg)
         pts, val = m.stage_pointcloud_batch(clouds)
         # per-frame path (frame_step / scroll_frame_step)

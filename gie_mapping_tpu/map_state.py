@@ -296,7 +296,8 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
                compact_rows: int | None = None,
                compact_cols: int | None = None,
                use_pallas: bool | None = None,
-               archive_pallas: bool | None = None) -> MapState:
+               archive_pallas: bool | None = None,
+               shift_pallas: bool | None = None) -> MapState:
     cb = cfg.canvas_blocks
     cs = cfg.canvas_size
     B = state.arch_keys.shape[0]
@@ -400,7 +401,39 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
         mask = exposed[(...,) + (None,) * (arr.ndim - 3)]
         return jnp.where(mask, jnp.asarray(fill, arr.dtype), out)
 
-    packed = shift_nd(packed, jnp.asarray(_PACKED_DEFAULT), sv, cs)
+    if shift_pallas is None:
+        shift_pallas = use_pallas
+    if shift_pallas:
+        # ONE read + ONE write (ops/pallas/blockrows.shift_canvas_pallas):
+        # the XLA formulation below materialises one full-canvas pass PER
+        # AXIS (~282 B/voxel audited with the pack/unpack chain,
+        # examples/hlo_scroll_audit.py).  x/y displacement rides the
+        # scalar-prefetched index_map; the z displacement is a static lane
+        # rotation dispatched by a tiny switch over the common +-1-block
+        # z-scrolls (beyond that: the XLA path — teleport-rare).
+        from .ops.pallas.blockrows import shift_canvas_pallas
+
+        X_, Y_, Z_ = cs
+        defaults = jnp.tile(jnp.asarray(_PACKED_DEFAULT, jnp.uint32),
+                            Z_).reshape(1, 1, 3 * Z_)
+        cvv = packed.reshape(X_, Y_, Z_ * 3)
+
+        def mk(zk):
+            return lambda c: shift_canvas_pallas(c, defaults, shift_blk,
+                                                 zshift_blk=zk)
+
+        def xla_fb(c):
+            return shift_nd(c.reshape(cs + (3,)),
+                            jnp.asarray(_PACKED_DEFAULT), sv,
+                            cs).reshape(X_, Y_, Z_ * 3)
+
+        zb = shift_blk[2]
+        zsel = jnp.where(zb == -1, 0,
+                         jnp.where(zb == 0, 1, jnp.where(zb == 1, 2, 3)))
+        cvv = jax.lax.switch(zsel, [mk(-1), mk(0), mk(1), xla_fb], cvv)
+        packed = cvv.reshape(cs + (3,))
+    else:
+        packed = shift_nd(packed, jnp.asarray(_PACKED_DEFAULT), sv, cs)
     present = shift_nd(state.present[..., None], False, shift_blk, cb)[..., 0]
     # cell-granular dist bound rolls with the canvas (block shifts are
     # multiples of 2 cells).  Exposed cells whose content resets to UNKNOWN

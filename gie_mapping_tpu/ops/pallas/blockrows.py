@@ -241,3 +241,78 @@ def scatter_archive_rows(a_packed, rows, ids, valid, *,
         interpret=interpret,
     )(ids_s, val_s, perm, rv, av)
     return out.reshape(B, W ** 3, 3)
+
+
+# ---------------------------------------------------------------------------
+# Canvas shift: the scroll's dense roll + exposed-fill as ONE kernel pass
+# ---------------------------------------------------------------------------
+
+def _shift_kernel(Xb, Yb, L, zl, s_ref, defaults_ref, src_ref, out_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (W, W, L), 0)
+    sub_y = jax.lax.broadcasted_iota(jnp.int32, (W, W, L), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (W, W, L), 2)
+    s0 = s_ref[0] * W                       # voxel shifts (block-aligned)
+    s1 = s_ref[1] * W
+    xg = i * W + sub + s0                   # source coords of each out voxel
+    yg = j * W + sub_y + s1
+    valid = ((xg >= 0) & (xg < Xb * W) & (yg >= 0) & (yg < Yb * W)
+             & (lane + zl >= 0) & (lane + zl < L))
+    blk = src_ref[...]
+    if zl > 0:       # static lane rotation (tpu.dynamic_rotate needs
+        blk = jnp.concatenate([blk[:, :, zl:], blk[:, :, :zl]], axis=2)
+    elif zl < 0:     # 128-aligned lanes; static slices do not)
+        blk = jnp.concatenate([blk[:, :, zl:], blk[:, :, :zl]], axis=2)
+    out_ref[...] = jnp.where(valid, blk, defaults_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("zshift_blk", "interpret"))
+def shift_canvas_pallas(cv, defaults, shift_blk, *, zshift_blk: int = 0,
+                        interpret: bool = False):
+    """Dense canvas scroll shift in ONE read + ONE write.
+
+    out[x, y, l] = cv[x + 8*sb0, y + 8*sb1, l + 24*zb] where the source is
+    in range, else defaults[l] — exactly map_state's shift_nd(packed, ...)
+    on the [X, Y, Z*3] view (the wrap values a roll would produce are all
+    exposed positions, overwritten by the fill).  The XLA formulation
+    materialises one full-canvas pass PER AXIS (three jnp.rolls measure
+    ~282 B/voxel with the pack/unpack chain, examples/hlo_scroll_audit.py);
+    here the x/y displacement rides the scalar-prefetched index_map (source
+    block indices are clamped in range — masked lanes read garbage-but-valid
+    tiles) and the z displacement is a STATIC in-VMEM lane rotation
+    (tpu.dynamic_rotate rejects the unaligned 3*Z lane extent, so the
+    caller dispatches a tiny lax.switch over zshift_blk in {-1, 0, +1} —
+    z-scrolls are block-rare — with the XLA path as the fallback).
+
+    Args:
+      cv: uint32 [X, Y, L] canvas view (packed.reshape(X, Y, Z*3)).
+      defaults: uint32 [1, 1, L] per-lane fill (the packed default pattern).
+      shift_blk: int32 [3] scroll shift in BLOCK units (voxel shift / 8);
+        the z component must equal zshift_blk (static).
+    """
+    X, Y, L = cv.shape
+    Xb, Yb = X // W, Y // W
+    zl = 3 * W * zshift_blk
+    if not -L < zl < L:
+        raise ValueError(f"zshift_blk {zshift_blk} out of range for L={L}")
+
+    def src_map(i, j, s_ref):
+        bi = jnp.maximum(jnp.minimum(i + s_ref[0], Xb - 1), 0)
+        bj = jnp.maximum(jnp.minimum(j + s_ref[1], Yb - 1), 0)
+        return bi, bj, 0
+
+    return pl.pallas_call(
+        functools.partial(_shift_kernel, Xb, Yb, L, zl),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Xb, Yb),
+            in_specs=[
+                pl.BlockSpec((1, 1, L), lambda i, j, s_ref: (0, 0, 0)),
+                pl.BlockSpec((W, W, L), src_map),
+            ],
+            out_specs=pl.BlockSpec((W, W, L), lambda i, j, s_ref: (i, j, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((X, Y, L), jnp.uint32),
+        interpret=interpret,
+    )(shift_blk.astype(jnp.int32), defaults, cv)

@@ -358,7 +358,11 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
     def full_branch(ops):
         dist_state, coc_state, ctype, pvox, _bx0, _by0, woff, dmax = ops
         if mesh is None:
-            full = batch_edt(ctype, mid=cfg.edt_mid, **ekw)
+            # reuse the freshly patched/rebuilt phase-1 cache: without it,
+            # full-recompute frames with the cache on would scan phase 1
+            # TWICE (once for the cache, once inside batch_edt)
+            full = batch_edt(ctype, mid=cfg.edt_mid,
+                             p1_packed=p1c_new if use_p1c else None, **ekw)
         else:
             full = batch_edt_sharded(ctype, mesh=mesh, **ekw)
         win_s = window_mask

@@ -182,7 +182,8 @@ def _env_variant_kwargs(env_variant: str) -> dict:
 
 
 def _edt_zmajor_core(occ, env, max_width: int, z_global: int, reshard1,
-                     reshard2, env_mid=None, env_packed=None):
+                     reshard2, env_mid=None, env_packed=None,
+                     p1_packed=None):
     """Phases 1-3 of the z-major EDT with pluggable phase-boundary reshards.
 
     reshard1: [Xl,Y,Z]-layout phase-1 output -> phase-2 [X,Zl,Y] layout
@@ -205,7 +206,25 @@ def _edt_zmajor_core(occ, env, max_width: int, z_global: int, reshard1,
     Returns (packed_c [Xl,Y,Z], pay3b [Xl,Y,Z], zbits): packed_c holds
     (dist << zbits+1 | coc_z << 1 | valid), pay3b (coc_x << 11 | coc_y << 1
     | valid)."""
-    if env_packed is not None:
+    if p1_packed is not None and env_packed is not None:
+        # caller-maintained phase-1 cache (cfg.edt_p1_cache): skip the scan
+        from .pallas.phase1 import phase1_pack_bits
+
+        yb = phase1_pack_bits(occ.shape[1])
+        f2p = reshard1(p1_packed)
+        ib2 = _env_idx_bits(f2p.shape[0])
+        pk2, pay2t = env_packed(f2p, yb)
+    elif p1_packed is not None:
+        # unpack feeds the plain envelope (fuses into its first read)
+        from .pallas.phase1 import phase1_pack_bits
+
+        yb = phase1_pack_bits(occ.shape[1])
+        g1sq = jnp.where((p1_packed & 1) > 0, p1_packed >> (yb + 1), _BIG)
+        pay2 = p1_packed & ((1 << (yb + 1)) - 1)
+        f2 = reshard1(g1sq)
+        ib2 = _env_idx_bits(f2.shape[0])
+        pk2, pay2t = env(f2, (reshard1(pay2),))
+    elif env_packed is not None:
         from .pallas.phase1 import phase1_pack_bits, phase1_packed_pallas
 
         yb = phase1_pack_bits(occ.shape[1])
@@ -256,12 +275,17 @@ def _edt_zmajor_core(occ, env, max_width: int, z_global: int, reshard1,
                                    "mid", "env_variant", "p1"))
 def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = None,
               zmajor: bool = True, mid: bool | None = None,
-              env_variant: str = "base", p1: str = "xla"):
+              env_variant: str = "base", p1: str = "xla", p1_packed=None):
     """Batch local EDT over a dense grid.
 
     Args:
       glb_type: int8/int32 [X,Y,Z] voxel types; OCCUPIED voxels are sites.
       max_width: X+Y+Z 'infinite' 1-D distance (local_batch.h:46).
+
+    p1_packed: optional precomputed packed phase-1 word [X,Y,Z]
+      (phase1_packed / the merge's phase-1 cache) — must equal
+      phase1_packed(glb_type == OCCUPIED); phase 1 is then skipped
+      (zmajor 3-D path only; ignored in the 2-D/legacy layouts).
 
     Returns dict with:
       dist_sq: int32 [X,Y,Z] squared Euclidean distance (EMPTY_VALUE where no
@@ -328,7 +352,7 @@ def batch_edt(glb_type, max_width: int, chunk: int = 8, pallas: bool | None = No
         packed_c, pay3b, zbits = _edt_zmajor_core(
             occ, env, max_width, Z,
             reshard1=tzy, reshard2=lambda a: jnp.moveaxis(a, 1, 0),
-            env_mid=env_mid, env_packed=env_packed)
+            env_mid=env_mid, env_packed=env_packed, p1_packed=p1_packed)
         dist_sq = packed_c >> (zbits + 1)
         coc_z = (packed_c >> 1) & ((1 << zbits) - 1)
         coc_x = pay3b >> 11

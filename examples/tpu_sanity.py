@@ -90,8 +90,13 @@ def check_scroll_stream():
     # out then back (the load path runs): single-axis unit shifts so the
     # exiting/entering bounds fit compact_rows/cols, as the mapper guarantees
     # (_scroll_compact_rows); violating the bounds is undefined on BOTH paths
+    # the z entries pin the shift kernel's STATIC lane-rotation arms
+    # (shift_canvas_pallas zshift_blk=+-1 — written because
+    # tpu.dynamic_rotate rejects the unaligned 3*Z lane extent; interpret
+    # mode cannot catch a Mosaic lowering bug in them)
     shifts = [np.array(s, np.int32) for s in
-              [(1, 0, 0), (0, 1, 0), (-1, 0, 0), (0, -1, 0)]]
+              [(1, 0, 0), (0, 1, 0), (0, 0, 1), (-1, 0, 0), (0, -1, 0),
+               (0, 0, -1)]]
     fails = 0
     for use_pallas in (True, False):
         s = st

@@ -428,9 +428,16 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
                             cs).reshape(X_, Y_, Z_ * 3)
 
         zb = shift_blk[2]
-        zsel = jnp.where(zb == -1, 0,
-                         jnp.where(zb == 0, 1, jnp.where(zb == 1, 2, 3)))
-        cvv = jax.lax.switch(zsel, [mk(-1), mk(0), mk(1), xla_fb], cvv)
+        if Z_ > VB_WIDTH:
+            zsel = jnp.where(zb == -1, 0,
+                             jnp.where(zb == 0, 1, jnp.where(zb == 1, 2, 3)))
+            cvv = jax.lax.switch(zsel, [mk(-1), mk(0), mk(1), xla_fb], cvv)
+        else:
+            # single-z-block canvas: a +-1-block z shift moves everything
+            # out (the kernel's static rotation would be out of range) —
+            # only the z==0 arm is Pallas, the rest takes the XLA path
+            zsel = jnp.where(zb == 0, 0, 1)
+            cvv = jax.lax.switch(zsel, [mk(0), xla_fb], cvv)
         packed = cvv.reshape(cs + (3,))
     else:
         packed = shift_nd(packed, jnp.asarray(_PACKED_DEFAULT), sv, cs)

@@ -162,6 +162,24 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
         boxes_hi.append(hi)
         boxes_dead.append(s == 0)
 
+    # EXITING slabs too (their position in NEW canvas coords lies just
+    # beyond the edge): a site that scrolls out is a REMOVED site for every
+    # voxel that stored it as coc.  Strict worsenings keep the old pair
+    # anyway (keep_old limited-observation memory — dist_state < new_dist),
+    # but an exact distance TIE with a surviving in-canvas site takes the
+    # NEW coc in the ungated path, so those voxels must be recomputed
+    # (found by an unaligned-pivot fuzz: 9 stale coc voxels on a
+    # [-1,+1,0]-scroll frame).
+    for a in range(3):
+        s = enter_shift[a]
+        lo = jnp.asarray([0, 0, 0], jnp.int32).at[a].set(
+            jnp.where(s > 0, -s, cs_arr[a]))
+        hi = (cs_arr - 1).at[a].set(
+            jnp.where(s > 0, -1, cs_arr[a] - s - 1))
+        boxes_lo.append(lo)
+        boxes_hi.append(hi)
+        boxes_dead.append(s == 0)
+
     # ---- P pass ----------------------------------------------------------
     # "voxel": one fused full-canvas read of dist_sq (+ the type read shared
     # with fusion).  "block": the same box-distance test against the
@@ -231,8 +249,14 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
         aff = P | _uncrop(jnp.zeros(canvas_size, jnp.bool_), chg, win_off)
         x0, x1 = _axis_lohi(jnp.any(aff, axis=(1, 2)), X)
         y0, y1 = _axis_lohi(jnp.any(aff, axis=(0, 2)), Y)
-    need_x = jnp.maximum(x1 - x0 + 1, 0)
-    need_y = jnp.maximum(y1 - y0 + 1, 0)
+    # the branches snap the slab offset DOWN to a multiple of 8
+    # (ox = clip(x0//8*8, 0, X-SX)), so the fit test must cover the bbox
+    # from the SNAPPED start — ignoring the up-to-7-voxel slack let
+    # unaligned window pivots leave affected voxels outside the slab
+    # (silent divergence from the ungated path; caught by the
+    # unaligned-pivot fuzz in tests/test_edt_gate.py)
+    need_x = jnp.maximum(x1 - x0 // 8 * 8 + 1, 0)
+    need_y = jnp.maximum(y1 - y0 // 8 * 8 + 1, 0)
 
     sel = jnp.int32(n_menu)  # full
     for k in range(n_menu - 1, -1, -1):
@@ -254,7 +278,9 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
 
         mw = sum(canvas_size)
         fx_menu = [sx for sx, _ in _slab_menu(canvas_size)]
-        pneed = jnp.maximum(fhi[0] - flo[0] + 1, 0)
+        # cover from the SNAPPED patch start (o = clip(flo//8*8, ...)):
+        # same alignment slack as the slab fit above
+        pneed = jnp.maximum(fhi[0] - flo[0] // 8 * 8 + 1, 0)
         psel = jnp.int32(len(fx_menu))
         for k in range(len(fx_menu) - 1, -1, -1):
             psel = jnp.where(pneed <= fx_menu[k], jnp.int32(k), psel)

@@ -260,9 +260,8 @@ def _shift_kernel(Xb, Yb, L, zl, s_ref, defaults_ref, src_ref, out_ref):
     valid = ((xg >= 0) & (xg < Xb * W) & (yg >= 0) & (yg < Yb * W)
              & (lane + zl >= 0) & (lane + zl < L))
     blk = src_ref[...]
-    if zl > 0:       # static lane rotation (tpu.dynamic_rotate needs
-        blk = jnp.concatenate([blk[:, :, zl:], blk[:, :, :zl]], axis=2)
-    elif zl < 0:     # 128-aligned lanes; static slices do not)
+    if zl != 0:      # static lane rotation, either sign (tpu.dynamic_rotate
+        # needs 128-aligned lanes; static slices do not)
         blk = jnp.concatenate([blk[:, :, zl:], blk[:, :, :zl]], axis=2)
     out_ref[...] = jnp.where(valid, blk, defaults_ref[...])
 

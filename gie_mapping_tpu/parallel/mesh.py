@@ -77,7 +77,9 @@ def shard_state(state, mesh: Mesh):
         a_packed=put(state.a_packed, ps),
         arch_dropped=put(state.arch_dropped, rs),
         dmax_cell=put(state.dmax_cell, rs),  # tiny cell grid
-        p1c=put(state.p1c, rs),      # unused under a mesh (pipeline gates it)
+        p1c=put(state.p1c, cs),      # unused under a mesh (pipeline gates
+        # it) — canvas-sharded rather than replicated so a mistakenly-on
+        # knob costs 1/n per device, not a full copy
         p1c_ok=put(state.p1c_ok, rs),
     )
 

@@ -207,6 +207,30 @@ def test_fast_mode_window_gating(pmode):
 
 @pytest.mark.parametrize("pmode", ["voxel", "block", "block+p1c"])
 @pytest.mark.parametrize("seed", [1, 2, 3])
+def test_fuzz_unaligned_pivots(seed, pmode):
+    """Production pivots come from the continuous robot pose
+    (geo.calculate_pivot) — ARBITRARY voxel coordinates, not multiples of
+    8.  This fuzz moves the window by unaligned steps and teleports to
+    unaligned positions; it catches the three divergences a review fuzz
+    found on the aligned-only suite: (a) the slab fit test ignoring the
+    ox//8*8 snap slack, (b) the phase-1 cache patch with the same slack,
+    (c) scrolled-out coc sites losing a distance tie (exiting delta
+    boxes)."""
+    rng = np.random.default_rng(100 + seed)
+    frames = []
+    pvt = np.zeros(3, int)
+    for i in range(12):
+        pvt = pvt + rng.integers(-6, 7, 3)
+        if rng.random() < 0.12:
+            pvt = rng.integers(-41, 41, 3)  # unaligned teleport
+        voxels = [rng.integers(0, s, 3) % np.asarray((16, 16, 8))
+                  for s in [(16, 16, 8)] * int(rng.integers(0, 5))]
+        frames.append((_with(_free, *voxels), pvt.copy()))
+    _run_scenario(frames, pmode=pmode)
+
+
+@pytest.mark.parametrize("pmode", ["voxel", "block", "block+p1c"])
+@pytest.mark.parametrize("seed", [1, 2, 3])
 def test_fuzz_random_worlds(seed, pmode):
     rng = np.random.default_rng(seed)
     frames = []

@@ -252,13 +252,25 @@ def main():
         r = bench_case(case.strip(), link_ms)
         r["extra"]["probe_ms"] = probe_ms
         results.append(r)
-    # retry pass: below-target cases re-measure while budget remains
+    # retry pass: below-target cases re-measure while budget remains.
+    # Re-probe before each retry (ADVICE r3) — a retry inside a throttled
+    # window wastes budget and would stamp a stale probe into the artifact;
+    # cap retries per case so one genuinely-slow case can't eat everything.
+    MAX_RETRIES = int(os.environ.get("GIE_SUITE_MAX_RETRIES", 3))
     for i, r in enumerate(results):
         retries = 0
-        while r["vs_baseline"] < 1.0 and time.time() < deadline:
+        while (r["vs_baseline"] < 1.0 and retries < MAX_RETRIES
+               and time.time() < deadline):
+            p = _probe()
+            if p is None or p >= QUIET_PROBE_MS:
+                import sys as _sys
+                print(f"suite: retry window throttled (probe {p} ms); "
+                      "waiting...", file=_sys.stderr)
+                time.sleep(min(60.0, max(1.0, deadline - time.time())))
+                continue
             retries += 1
             r2 = bench_case(r["extra"]["case"], link_ms)
-            r2["extra"]["probe_ms"] = probe_ms
+            r2["extra"]["probe_ms"] = p
             if r2["value"] < r["value"]:
                 r = r2
             r["extra"]["throttle_retries"] = retries

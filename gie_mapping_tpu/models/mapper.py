@@ -951,13 +951,14 @@ class VolumetricMapper:
             # plan a run of `chunk` frames whose scrolls fit the bounds
             prev = None if self._origin is None else self._origin.copy()
             plan = []
+            plan_rc = []  # per-frame (rows, cols) so truncation can re-max
             fkey0 = None
-            run_rows, run_cols = self.REPLAY_ROWS, self.REPLAY_COLS
             j = i
             while j < K and len(plan) < chunk:
                 pvt, origin_blk, off = self._frame_geometry(
                     np.asarray(projs[j].trans), origin=prev)
                 scroll = prev is None or not np.array_equal(prev, origin_blk)
+                rc = (0, 0)
                 if scroll:
                     if prev is None:
                         break  # fresh map: per-frame path compiles the scroll
@@ -966,14 +967,14 @@ class VolumetricMapper:
                                                                prev=prev)
                         if rows is None:
                             break  # teleport-scale scroll
-                        run_rows = max(run_rows, rows)
-                        run_cols = max(run_cols, cols)
+                        rc = (rows, cols)
                 fkey = _fence_key(pvt)
                 if fkey0 is None:
                     fkey0 = fkey
                 elif fkey != fkey0:
                     break  # fence activation flips mid-chunk
                 plan.append((pvt, origin_blk, off, scroll, j))
+                plan_rc.append(rc)
                 if scroll:
                     prev = origin_blk.copy()
                 j += 1
@@ -982,8 +983,12 @@ class VolumetricMapper:
             # per-frame fallbacks — in throttled windows the tunnel charges a
             # fixed quantum PER PROGRAM (examples/bench_throttle_quantum.py),
             # so every fallback frame costs a full quantum while a scanned
-            # frame costs quantum/len.  The ladder {chunk, chunk/2, chunk/4}
-            # keeps the jit cache at <= 3 scan-length entries.
+            # frame costs quantum/len.  compact_rows/cols are also static jit
+            # args; a session-sticky HIGH-WATER mark (below) makes them
+            # monotone, so the compile count is bounded by 3 scan lengths x
+            # the (at most 2+2) bucket increases a session can see — not the
+            # 3 x 9 cross-product a heterogeneous trajectory would otherwise
+            # trigger at 30-90 s/compile over the tunnel (ADVICE r3).
             ladder = sorted({chunk} | {max(chunk // 2, 2), max(chunk // 4, 2)},
                             reverse=True)
             run_len = next((L for L in ladder if len(plan) >= L), 0)
@@ -994,8 +999,22 @@ class VolumetricMapper:
                 i += 1
                 continue
             plan = plan[:run_len]
-            cr = run_rows if use_compact else None
-            cc = run_cols if use_compact else None
+            # re-max rows/cols over the frames actually KEPT (truncated
+            # frames must not oversize the compile), then apply the sticky
+            # high-water mark (a larger compacted scroll is always correct —
+            # it is capacity, not semantics)
+            run_rows = max([self.REPLAY_ROWS]
+                           + [r for r, _ in plan_rc[:run_len]])
+            run_cols = max([self.REPLAY_COLS]
+                           + [c for _, c in plan_rc[:run_len]])
+            if use_compact:
+                self._replay_rows_hw = max(
+                    getattr(self, "_replay_rows_hw", 0), run_rows)
+                self._replay_cols_hw = max(
+                    getattr(self, "_replay_cols_hw", 0), run_cols)
+                cr, cc = self._replay_rows_hw, self._replay_cols_hw
+            else:
+                cr = cc = None
 
             t0 = time.perf_counter()
             n = len(plan)

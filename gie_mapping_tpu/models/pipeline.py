@@ -917,7 +917,7 @@ def scroll_frame_step(state, pose, fence_ll, fence_ur, fence_active,
     from ..map_state import _do_scroll
 
     pvt, origin_blk, off, rot, origin, s1, s2 = _unpack_pose(pose)
-    enter_shift = (origin_blk - state.origin_blk) * 8
+    enter_shift = (origin_blk - state.origin_blk) * VB_WIDTH
     state = _do_scroll(state, origin_blk, cfg, compact_rows=compact_rows,
                        compact_cols=compact_cols)
     kw = {}
@@ -1012,7 +1012,7 @@ def replay_frames(state, poses, scrolled, fence_ll, fence_ur, fence_active,
         s, _, changed_union = carry
         pvt, origin_blk, off, rot, origin, s1, s2 = _unpack_pose(xs["pose"])
         enter_shift = jnp.where(xs["scrolled"],
-                                (origin_blk - s.origin_blk) * 8, 0)
+                                (origin_blk - s.origin_blk) * VB_WIDTH, 0)
         s, changed_union = jax.lax.cond(
             xs["scrolled"], scroll_branch, lambda op: (op[0], op[1]),
             (s, changed_union, origin_blk),

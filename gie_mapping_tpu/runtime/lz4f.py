@@ -91,12 +91,18 @@ def xxh32(data: bytes, seed: int = 0) -> int:
 # block codec
 # ---------------------------------------------------------------------------
 
-def decompress_block(src: bytes, out: bytearray) -> None:
+def decompress_block(src: bytes, out: bytearray,
+                     limit: int | None = None) -> None:
     """Decode one LZ4 block, APPENDING to `out` (matches may reference bytes
-    already in `out`, which implements linked-block frames for free)."""
+    already in `out`, which implements linked-block frames for free).
+
+    limit: cap on len(out); exceeding it raises ValueError mid-block, so a
+    crafted block (LZ4 expands up to ~255x/byte) cannot exhaust memory."""
     i = 0
     n = len(src)
     while i < n:
+        if limit is not None and len(out) > limit:
+            raise ValueError("lz4 block: output exceeds size limit")
         token = src[i]
         i += 1
         lit = token >> 4
@@ -205,8 +211,13 @@ def compress_block(src: bytes) -> bytes:
 # frame codec
 # ---------------------------------------------------------------------------
 
-def decompress(data: bytes) -> bytes:
-    """Decode one LZ4 frame (raises ValueError on malformed input)."""
+def decompress(data: bytes, max_output: int | None = None) -> bytes:
+    """Decode one LZ4 frame (raises ValueError on malformed input).
+
+    max_output: optional cap on the decoded size — a hostile frame can
+    otherwise expand a few hundred bytes into gigabytes before any checksum
+    is checked.  Callers that know the expected size (rosbag chunk headers
+    carry it) should pass it."""
     if len(data) < 7:
         raise ValueError("lz4 frame: truncated header")
     (magic,) = _U32.unpack_from(data, 0)
@@ -223,10 +234,14 @@ def decompress(data: bytes) -> bytes:
     off = 6  # magic + FLG + BD
     expected = None
     if c_size:
+        if off + 8 > len(data):
+            raise ValueError("lz4 frame: truncated content-size field")
         (expected,) = struct.unpack_from("<Q", data, off)
         off += 8
     if dict_id:
         off += 4
+    if off + 1 > len(data):
+        raise ValueError("lz4 frame: truncated header checksum")
     hc = data[off]
     want_hc = (xxh32(data[4:off]) >> 8) & 0xFF
     if hc != want_hc:
@@ -248,6 +263,8 @@ def decompress(data: bytes) -> bytes:
         block = data[off:off + bsize]
         off += bsize
         if b_checksum:
+            if off + 4 > len(data):
+                raise ValueError("lz4 frame: truncated block checksum")
             (bc,) = _U32.unpack_from(data, off)
             off += 4
             if bc != xxh32(block):
@@ -255,7 +272,9 @@ def decompress(data: bytes) -> bytes:
         if stored:
             out += block
         else:
-            decompress_block(block, out)
+            decompress_block(block, out, limit=max_output)
+        if max_output is not None and len(out) > max_output:
+            raise ValueError("lz4 frame: output exceeds size limit")
     if c_checksum:
         if off + 4 > len(data):
             raise ValueError("lz4 frame: truncated content checksum")

@@ -137,7 +137,16 @@ def read_bag(path) -> Iterator[BagMessage]:
                 except ImportError:
                     from .lz4f import decompress  # pure-python fallback
 
-                    inner = decompress(body)
+                    # chunk header carries the uncompressed size — cap the
+                    # decoder so a hostile frame can't exhaust memory, and
+                    # wrap decoder errors into the ValueError contract
+                    cap = None
+                    if len(hdr.get("size", b"")) == 4:
+                        (cap,) = struct.unpack("<L", hdr["size"])
+                    try:
+                        inner = decompress(body, max_output=cap)
+                    except (struct.error, IndexError) as e:
+                        raise ValueError(f"corrupt lz4 chunk: {e}") from e
             else:
                 raise ValueError(f"unknown chunk compression {comp!r}")
             for h2, b2 in _records(inner):

@@ -98,6 +98,31 @@ def test_frame_malformed():
         lz4f.decompress(bytes(bad))
 
 
+def test_frame_truncated_in_header_fields():
+    """Truncations inside the optional content-size field / header checksum
+    must raise ValueError, not struct.error / IndexError (ADVICE r3)."""
+    full = lz4f.compress(b"x" * 64)
+    # build a frame with the content-size flag set, then truncate inside it
+    flg = full[4] | (1 << 3)
+    hdr = bytes([flg, full[5]])
+    with_size = bytearray(full[:4])
+    with_size += hdr
+    with_size += struct.pack("<Q", 64)
+    with_size.append((lz4f.xxh32(hdr + struct.pack("<Q", 64)) >> 8) & 0xFF)
+    for cut in (7, 10, 13):  # mid content-size / just before checksum byte
+        with pytest.raises(ValueError):
+            lz4f.decompress(bytes(with_size[:cut]))
+
+
+def test_decompress_output_cap():
+    """max_output bounds a hostile frame's expansion (ADVICE r3)."""
+    payload = b"A" * 100_000
+    frame = lz4f.compress(payload)  # tiny frame, 100 kB decoded
+    assert lz4f.decompress(frame, max_output=len(payload)) == payload
+    with pytest.raises(ValueError, match="size limit"):
+        lz4f.decompress(frame, max_output=1_000)
+
+
 def test_block_malformed():
     with pytest.raises(ValueError, match="zero match offset"):
         lz4f.decompress_block(bytes([0x14]) + b"A" + bytes([0x00, 0x00]),

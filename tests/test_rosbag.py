@@ -278,6 +278,42 @@ def test_extrinsic_applied(scan_bag):
         np.array([1.0, 0.0, 1.0], np.float32), abs=1e-6)
 
 
+def test_handmade_frozen_fixture():
+    """Frozen byte-level fixture (VERDICT r3 item 7): a bag assembled
+    field-by-field from the published v2.0 container spec + LZ4 frame spec
+    by tests/fixtures/make_handmade_bag.py, committed as BYTES so the reader
+    is pinned to an independently-assembled artifact — not to any codepath
+    shared with this repo's writer.  Covers: 4096-byte padded bag-header
+    record, a bz2 chunk (stdlib compressor), and a HAND-BUILT LZ4 frame
+    (stored blocks split mid-record, header + content xxh32 checksums)."""
+    import os
+
+    bag = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "handmade_v2.bag")
+    msgs = list(read_bag(bag))
+    assert [(m.topic, m.msg_type, m.t) for m in msgs] == [
+        ("/scan", "sensor_msgs/LaserScan", 100.5),
+        ("/odom", "nav_msgs/Odometry", 101.0),
+    ]
+    scan = msgs[0].parse()
+    assert scan["header"]["seq"] == 7
+    assert scan["header"]["frame_id"] == "laser"
+    assert scan["header"]["stamp"] == pytest.approx(100.5)
+    assert scan["angle_min"] == pytest.approx(-1.5707964)
+    assert scan["range_max"] == pytest.approx(10.0)
+    np.testing.assert_array_equal(
+        scan["ranges"],
+        np.array([1.0, 2.5, np.inf, 0.5, 3.25], np.float32))
+    assert scan["intensities"].size == 0
+    odom = msgs[1].parse()
+    assert odom["child_frame_id"] == "base"
+    np.testing.assert_allclose(
+        odom["position"], np.array([1.5, -2.0, 0.25], np.float32))
+    np.testing.assert_allclose(
+        odom["quat_wxyz"],
+        np.array([0.7071068, 0.0, 0.0, 0.7071068], np.float32))
+
+
 def test_rot_quat_roundtrip():
     from gie_mapping_tpu.utils import geometry as geo
 

@@ -87,16 +87,17 @@ def check_scroll_stream():
     )
     fields = ("occ_val", "vox_type", "dist_sq", "coc", "present",
               "arch_keys", "n_arch", "a_packed", "arch_dropped")
-    # out then back (the load path runs): single-axis unit shifts so the
+    # out then back (the load path runs): single-axis unit X/Y shifts so the
     # exiting/entering bounds fit compact_rows/cols, as the mapper guarantees
-    # (_scroll_compact_rows); violating the bounds is undefined on BOTH paths
-    # the z entries pin the shift kernel's STATIC lane-rotation arms
-    # (shift_canvas_pallas zshift_blk=+-1 — written because
-    # tpu.dynamic_rotate rejects the unaligned 3*Z lane extent; interpret
-    # mode cannot catch a Mosaic lowering bug in them)
+    # (_scroll_compact_rows); violating the bounds is undefined on BOTH
+    # paths.  NOTE z shifts do NOT belong here: a unit z scroll exits ~60%
+    # of all (x,y) block-columns on this canvas (>> compact_cols=32), which
+    # is exactly the bound violation the comment above warns about — z arms
+    # are pinned in the full-canvas loop below instead (caught live in
+    # round 4: the snapshot-added (0,0,+-1) entries made this check report a
+    # false kernel mismatch)
     shifts = [np.array(s, np.int32) for s in
-              [(1, 0, 0), (0, 1, 0), (0, 0, 1), (-1, 0, 0), (0, -1, 0),
-               (0, 0, -1)]]
+              [(1, 0, 0), (0, 1, 0), (-1, 0, 0), (0, -1, 0)]]
     fails = 0
     for use_pallas in (True, False):
         s = st
@@ -112,6 +113,27 @@ def check_scroll_stream():
             ok = all(np.array_equal(got[f], np.asarray(getattr(s, f)))
                      for f in fields)
             print(f"scroll round-trip pallas == dense: {ok}")
+            fails += not ok
+    # z arms (round 4): static |zb| in {1,2} lane rotations and the composed
+    # Pallas-xy + dynamic-z-roll arm for bigger jumps, via the full-canvas
+    # scroll path (no compact bounds; interpret mode cannot catch a Mosaic
+    # lowering bug in these) — out then back
+    zshifts = [np.array(s, np.int32) for s in
+               [(0, 0, 1), (0, 0, 2), (1, 0, 4), (-1, 0, -4), (0, 0, -2),
+                (0, 0, -1)]]
+    for use_pallas in (True, False):
+        s = st
+        for sh in zshifts:
+            s = jax.jit(
+                lambda s_, o_: _do_scroll(s_, o_, cfg,
+                                          use_pallas=use_pallas)
+            )(s, jnp.asarray(np.asarray(s.origin_blk) + sh))
+        if use_pallas:
+            gotz = {f: np.asarray(getattr(s, f)) for f in fields}
+        else:
+            ok = all(np.array_equal(gotz[f], np.asarray(getattr(s, f)))
+                     for f in fields)
+            print(f"multi-z scroll pallas == dense: {ok}")
             fails += not ok
     changed = jnp.asarray(rng.random(cb) < 0.2)
     carry = jnp.zeros(cb, jnp.bool_)

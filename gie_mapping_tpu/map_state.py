@@ -409,35 +409,50 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
         # AXIS (~282 B/voxel audited with the pack/unpack chain,
         # examples/hlo_scroll_audit.py).  x/y displacement rides the
         # scalar-prefetched index_map; the z displacement is a static lane
-        # rotation dispatched by a tiny switch over the common +-1-block
-        # z-scrolls (beyond that: the XLA path — teleport-rare).
+        # rotation dispatched by a switch over |zb| <= 2 block z-scrolls.
+        # Larger z jumps (teleport class) take the COMPOSED arm: the same
+        # Pallas xy pass + ONE dynamic lane roll for z — 2 materialisations
+        # instead of the 3-axis XLA chain, removing the old fallback cliff
+        # on exactly the frames that are already the most expensive
+        # (VERDICT r3 item 6).
         from .ops.pallas.blockrows import shift_canvas_pallas
 
         X_, Y_, Z_ = cs
+        L_ = 3 * Z_
+        LW_ = 3 * VB_WIDTH
         defaults = jnp.tile(jnp.asarray(_PACKED_DEFAULT, jnp.uint32),
-                            Z_).reshape(1, 1, 3 * Z_)
-        cvv = packed.reshape(X_, Y_, Z_ * 3)
+                            Z_).reshape(1, 1, L_)
+        cvv = packed.reshape(X_, Y_, L_)
 
         def mk(zk):
             return lambda c: shift_canvas_pallas(c, defaults, shift_blk,
                                                  zshift_blk=zk)
 
-        def xla_fb(c):
-            return shift_nd(c.reshape(cs + (3,)),
-                            jnp.asarray(_PACKED_DEFAULT), sv,
-                            cs).reshape(X_, Y_, Z_ * 3)
+        def composed(c):
+            # rolling by a multiple of LW_ maps default lanes onto default
+            # lanes, so xy-shift-then-z-roll composes exactly; out-of-range
+            # z (|zb| >= cbz, incl. the single-z-block canvas) falls out as
+            # all-defaults through the lane mask
+            shifted = shift_canvas_pallas(c, defaults,
+                                          shift_blk.at[2].set(0),
+                                          zshift_blk=0)
+            zl = shift_blk[2] * LW_
+            rolled = jnp.roll(shifted, -zl, axis=2)
+            lane = jnp.arange(L_, dtype=jnp.int32)
+            ok = (lane + zl >= 0) & (lane + zl < L_)
+            return jnp.where(ok[None, None, :], rolled, defaults)
 
         zb = shift_blk[2]
-        if Z_ > VB_WIDTH:
-            zsel = jnp.where(zb == -1, 0,
-                             jnp.where(zb == 0, 1, jnp.where(zb == 1, 2, 3)))
-            cvv = jax.lax.switch(zsel, [mk(-1), mk(0), mk(1), xla_fb], cvv)
+        zmax = min(2, Z_ // VB_WIDTH - 1)
+        if zmax >= 1:
+            arms = ([composed] + [mk(z) for z in range(-zmax, zmax + 1)]
+                    + [composed])
+            zsel = jnp.clip(zb, -(zmax + 1), zmax + 1) + (zmax + 1)
         else:
-            # single-z-block canvas: a +-1-block z shift moves everything
-            # out (the kernel's static rotation would be out of range) —
-            # only the z==0 arm is Pallas, the rest takes the XLA path
-            zsel = jnp.where(zb == 0, 0, 1)
-            cvv = jax.lax.switch(zsel, [mk(0), xla_fb], cvv)
+            # single-z-block canvas: any z shift empties the z extent
+            arms = [mk(0), composed]
+            zsel = jnp.where(zb == 0, 0, 1).astype(jnp.int32)
+        cvv = jax.lax.switch(zsel, arms, cvv)
         packed = cvv.reshape(cs + (3,))
     else:
         packed = shift_nd(packed, jnp.asarray(_PACKED_DEFAULT), sv, cs)

@@ -281,8 +281,9 @@ def shift_canvas_pallas(cv, defaults, shift_blk, *, zshift_blk: int = 0,
     block indices are clamped in range — masked lanes read garbage-but-valid
     tiles) and the z displacement is a STATIC in-VMEM lane rotation
     (tpu.dynamic_rotate rejects the unaligned 3*Z lane extent, so the
-    caller dispatches a tiny lax.switch over zshift_blk in {-1, 0, +1} —
-    z-scrolls are block-rare — with the XLA path as the fallback).
+    caller dispatches a lax.switch over static zshift_blk arms for the
+    common |zb| <= 2 z-scrolls; larger jumps compose this kernel's xy pass
+    with one dynamic lane roll — see map_state._do_scroll).
 
     Args:
       cv: uint32 [X, Y, L] canvas view (packed.reshape(X, Y, Z*3)).

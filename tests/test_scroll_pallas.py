@@ -22,7 +22,8 @@ def interp(monkeypatch):
 
     monkeypatch.setattr(blockrows.pl, "pallas_call", patched)
     _fns = (blockrows.gather_block_rows, blockrows.scatter_block_rows,
-            blockrows.gather_archive_rows, blockrows.scatter_archive_rows)
+            blockrows.gather_archive_rows, blockrows.scatter_archive_rows,
+            blockrows.shift_canvas_pallas)
     for f in _fns:
         f._clear_cache()
     yield
@@ -53,7 +54,13 @@ def _rand_state(cfg, rng):
     )
 
 
-@pytest.mark.parametrize("shift", [(1, 0, 0), (0, -1, 0), (1, 1, -1), (2, 0, 1)])
+@pytest.mark.parametrize("shift", [(1, 0, 0), (0, -1, 0), (1, 1, -1),
+                                   (2, 0, 1),
+                                   # multi-block z jumps: static |zb|=2 arm,
+                                   # composed Pallas-xy + dynamic-z-roll arm,
+                                   # and a beyond-extent teleport (all lanes
+                                   # exposed) — no XLA-fallback cliff left
+                                   (0, 0, 2), (1, 0, -3), (0, 1, 9)])
 def test_compact_scroll_pallas_matches_xla(interp, shift):
     cfg = scan2d_config(local_size_m=(3.2, 3.2, 1.6), voxel_width=0.2,
                         max_blocks=4096)

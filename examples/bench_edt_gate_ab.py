@@ -91,7 +91,7 @@ def main():
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--variants", default="gate",
-                    choices=("gate", "pmode", "p1c", "combo"))
+                    choices=("gate", "pmode", "p1c", "combo", "stack"))
     args = ap.parse_args()
 
     from bench import _wait_for_backend
@@ -117,12 +117,20 @@ def main():
     elif args.variants == "p1c":    # A/B the phase-1 cache in isolation
         arms = {False: dict(edt_gate=True, edt_p1_cache=False),
                 True: dict(edt_gate=True, edt_p1_cache=True)}
-    else:                           # round-3 default vs the p1c candidate
+    elif args.variants == "combo":  # round-3 default vs the p1c candidate
         # (pmode "block" measured as a dead end: its cell-test slack pushed
         # the steady-state cow bbox past the largest menu slab -> full
         # recompute every frame; docs/ROADMAP.md "measured dead ends")
         arms = {False: dict(edt_gate=True),
                 True: dict(edt_gate=True, edt_p1_cache=True)}
+    else:                           # "stack": default vs the FULL traffic-cut
+        # stack (p1 cache + block-granular P test together) — individually
+        # each was throttle-neutral; combined they drop the full-canvas
+        # phase-1 scan+reshard AND the P-pass dist read (~150 MB/frame on
+        # depthcam), which may register even in a 3x window
+        arms = {False: dict(edt_gate=True),
+                True: dict(edt_gate=True, edt_p1_cache=True,
+                           edt_gate_pmode="block")}
     for case in args.cases.split(","):
         variants = {}
         for gate, ovr in arms.items():

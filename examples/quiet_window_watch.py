@@ -37,6 +37,10 @@ PAYLOADS = [
     ("gate_p1c_ab",
      [sys.executable, os.path.join(HERE, "bench_edt_gate_ab.py"),
       "--variants", "p1c", "--cases", "cow_lady,depthcam"], {}),
+    # round-4: full traffic-cut stack (p1c + block P-test together)
+    ("gate_stack_ab",
+     [sys.executable, os.path.join(HERE, "bench_edt_gate_ab.py"),
+      "--variants", "stack", "--cases", "cow_lady,depthcam"], {}),
     # round-3: padded-capacity sensitivity of the pointcloud path
     ("raycast_capacity_ab",
      [sys.executable, os.path.join(HERE, "bench_raycast_capacity_ab.py")],
@@ -50,6 +54,12 @@ PAYLOADS = [
     ("bench_suite", [sys.executable, os.path.join(REPO, "bench_suite.py")], {}),
     ("bench_headline", [sys.executable, os.path.join(REPO, "bench.py")], {}),
     ("edt_parts", [sys.executable, os.path.join(HERE, "bench_edt_parts.py")],
+     {}),
+    # round-4: per-stage frame bisect (the 2x SoL-gap residue hunt) and the
+    # relax-engine perf story (VERDICT r3 items 5 and 8)
+    ("frame_parts",
+     [sys.executable, os.path.join(HERE, "bench_frame_parts.py")], {}),
+    ("relax_ab", [sys.executable, os.path.join(HERE, "bench_relax_ab.py")],
      {}),
     ("env_efficiency",
      [sys.executable, os.path.join(HERE, "bench_env_efficiency.py")], {}),

@@ -84,7 +84,7 @@ def _axis_lohi(mask1d, n):
 
 def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
                         old_type_win, win_off, window_mask,
-                        present_vox_canvas, enter_shift, *, cfg: MapConfig,
+                        present_blk, enter_shift, *, cfg: MapConfig,
                         mesh=None):
     """Change-gated exact canvas EDT (round 3, VERDICT r2 item 1).
 
@@ -329,9 +329,13 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
 
     def make_gated(SX, SY):
         def branch(ops):
-            dist_state, coc_state, ctype, pvox, bx0, by0, woff, dmax = ops
+            dist_state, coc_state, ctype, pblk, bx0, by0, woff, dmax = ops
             ox = jnp.clip(bx0 // 8 * 8, 0, X - SX)
             oy = jnp.clip(by0 // 8 * 8, 0, Y - SY)
+            # present expanded only over the slab (block-granular operand:
+            # the old full-canvas repeat materialised as a switch operand)
+            pres_s = _expand_blocks(jax.lax.dynamic_slice(
+                pblk, (ox // 8, oy // 8, 0), (SX // 8, SY // 8, Z // 8)))
             if mesh is None:
                 slab = batch_edt_slab(ctype, ox, oy, sx=SX, sy=SY,
                                       mid=cfg.edt_mid,
@@ -356,7 +360,7 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
             # observed-masked outputs expose — gated branches only run when
             # sites exist; see the zero-site force-full guard)
             fin_d, fin_c, _, _ = finalize_slab(
-                dist_state_s, coc_state_s, slab, obs_s, sl(pvox), win_s)
+                dist_state_s, coc_state_s, slab, obs_s, pres_s, win_s)
             final_dist = jax.lax.dynamic_update_slice(dist_state, fin_d,
                                                       (ox, oy, 0))
             final_coc = jax.lax.dynamic_update_slice(coc_state, fin_c,
@@ -382,7 +386,8 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
         return branch
 
     def full_branch(ops):
-        dist_state, coc_state, ctype, pvox, _bx0, _by0, woff, dmax = ops
+        dist_state, coc_state, ctype, pblk, _bx0, _by0, woff, dmax = ops
+        pvox = _expand_blocks(pblk)
         if mesh is None:
             # reuse the freshly patched/rebuilt phase-1 cache: without it,
             # full-recompute frames with the cache on would scan phase 1
@@ -410,12 +415,18 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
                 jnp.int32(X * Y * Z), new_dmax)
 
     branches = [make_gated(sx, sy) for sx, sy in menu] + [full_branch]
-    ops = (state.dist_sq, state.coc, canvas_type, present_vox_canvas,
+    ops = (state.dist_sq, state.coc, canvas_type, present_blk,
            x0, y0, win_off, state.dmax_cell)
     (final_dist, final_coc, dist_win, coc_win, changed_blk_d,
      slab_vox, dmax_new) = jax.lax.switch(sel, branches, ops)
     return (final_dist, final_coc, dist_win, coc_win, changed_blk_d,
             sel, slab_vox, dmax_new, p1c_new, jnp.asarray(use_p1c))
+
+
+def _expand_blocks(blk):
+    """bool block grid -> voxel grid (×VB_WIDTH per axis, broadcast)."""
+    return jnp.repeat(jnp.repeat(jnp.repeat(blk, VB_WIDTH, 0),
+                                 VB_WIDTH, 1), VB_WIDTH, 2)
 
 
 def _crop(arr, off, shape):
@@ -509,14 +520,32 @@ def merge_frame_impl(
     observed = (ray_count != 0) if input_pointcloud else (inst_type != VOX_UNKNOWN)
 
     # ---- block allocation (dense: flip present flags) -------------------
-    canvas_observed = _uncrop(jnp.zeros(canvas_size, jnp.bool_), observed, win_off)
-    needed_blk = canvas_observed.reshape(bx, VB_WIDTH, by, VB_WIDTH, bz, VB_WIDTH).any((1, 3, 5))
+    # `observed` lives only in the window and `present` is block-granular:
+    # both the needed-block reduce and the window's present expansion run on
+    # window/block-sized covering buffers instead of materialising two
+    # full-canvas bool passes (the old uncrop→reduce + repeat→crop chain —
+    # ~17 MB/frame of pure waste on depthcam-class halo canvases).  A
+    # window straddles at most local//8+2 blocks per axis; the covering
+    # patch may hang up to 2 (all-False) blocks past the canvas edge, so
+    # the block splice runs on a +2-padded block buffer (tiny) to keep the
+    # dynamic_update_slice from clamp-shifting.
+    lb = tuple(ls // VB_WIDTH + 2 for ls in local_size)
+    start_bk = win_off // VB_WIDTH
+    sub = win_off - start_bk * VB_WIDTH  # 0..7 per axis
+    cov = jnp.zeros(tuple(b * VB_WIDTH for b in lb), jnp.bool_)
+    cov = jax.lax.dynamic_update_slice(cov, observed, (sub[0], sub[1], sub[2]))
+    nb = cov.reshape(lb[0], VB_WIDTH, lb[1], VB_WIDTH,
+                     lb[2], VB_WIDTH).any((1, 3, 5))
+    pad_blk = jnp.zeros(tuple(b + 2 for b in canvas_blocks), jnp.bool_)
+    needed_blk = jax.lax.dynamic_update_slice(
+        pad_blk, nb, (start_bk[0], start_bk[1], start_bk[2]))[:bx, :by, :bz]
     present = state.present | needed_blk
 
-    present_vox_canvas = jnp.repeat(
-        jnp.repeat(jnp.repeat(present, VB_WIDTH, 0), VB_WIDTH, 1), VB_WIDTH, 2
-    )
-    present_vox_win = win(present_vox_canvas)
+    pres_cov = jax.lax.dynamic_slice(
+        pad_blk.at[:bx, :by, :bz].set(present),
+        (start_bk[0], start_bk[1], start_bk[2]), lb)
+    present_vox_win = jax.lax.dynamic_slice(
+        _expand_blocks(pres_cov), (sub[0], sub[1], sub[2]), local_size)
 
     # ---- occupancy fusion (unify_helper.cuh:35-197) ---------------------
     loc_grid = geo.local_coord_grid(local_size)
@@ -578,7 +607,7 @@ def merge_frame_impl(
             enter_shift = jnp.zeros(3, jnp.int32)
         gated = _gated_canvas_merge(
             state, canvas_type, old_type, new_type_win, old_type_win,
-            win_off, window_mask, present_vox_canvas, enter_shift, cfg=cfg,
+            win_off, window_mask, present, enter_shift, cfg=cfg,
             mesh=mesh)
         (final_dist, final_coc, dist_win_g, coc_win_g, changed_blk_d,
          gate_level, slab_vox, dmax_new, p1c_new, p1c_ok_new) = gated
@@ -680,7 +709,7 @@ def merge_frame_impl(
         # skips lower/raise-out, glb_hash_map.cu:174-192).  Equivalent to
         # the writable-gate + window write-back crop/uncrop chain, but each
         # of those passes materialised full dist (7 MB) + coc (11 MB).
-        take = window_mask & observed_canvas & present_vox_canvas \
+        take = window_mask & observed_canvas & _expand_blocks(present) \
             & (dist != EMPTY_VALUE)
         if not cfg.fast_mode:
             take = take | outside_observed

@@ -85,7 +85,7 @@ def _axis_lohi(mask1d, n):
 def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
                         old_type_win, win_off, window_mask,
                         present_blk, enter_shift, *, cfg: MapConfig,
-                        mesh=None):
+                        mesh=None, emit_outputs=True):
     """Change-gated exact canvas EDT (round 3, VERDICT r2 item 1).
 
     Per frame, the set of voxels whose stored (dist, coc) can differ from
@@ -380,9 +380,9 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
             new_dmax = jax.lax.dynamic_update_slice(dmax, dm_s,
                                                     (ox // 4, oy // 4, 0))
             dist_win = _crop(final_dist, woff, local_size)
-            coc_win = _crop(final_coc, woff, local_size)
-            return (final_dist, final_coc, dist_win, coc_win, changed,
-                    jnp.int32(SX * SY * Z), new_dmax)
+            cw = (_crop(final_coc, woff, local_size),) if emit_outputs else ()
+            return (final_dist, final_coc, dist_win) + cw + (
+                changed, jnp.int32(SX * SY * Z), new_dmax)
         return branch
 
     def full_branch(ops):
@@ -410,15 +410,21 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
         # final window values can differ at observed voxels: report the
         # TRUE pre-take crops (exactly the ungated path's dist_win)
         dist_win = _crop(dist_pre, woff, local_size)
-        coc_win = _crop(coc_pre, woff, local_size)
-        return (fin_d, fin_c, dist_win, coc_win, changed,
-                jnp.int32(X * Y * Z), new_dmax)
+        cw = (_crop(coc_pre, woff, local_size),) if emit_outputs else ()
+        return (fin_d, fin_c, dist_win) + cw + (
+            changed, jnp.int32(X * Y * Z), new_dmax)
 
     branches = [make_gated(sx, sy) for sx, sy in menu] + [full_branch]
     ops = (state.dist_sq, state.coc, canvas_type, present_blk,
            x0, y0, win_off, state.dmax_cell)
-    (final_dist, final_coc, dist_win, coc_win, changed_blk_d,
-     slab_vox, dmax_new) = jax.lax.switch(sel, branches, ops)
+    res = jax.lax.switch(sel, branches, ops)
+    if emit_outputs:
+        (final_dist, final_coc, dist_win, coc_win, changed_blk_d,
+         slab_vox, dmax_new) = res
+    else:
+        (final_dist, final_coc, dist_win, changed_blk_d,
+         slab_vox, dmax_new) = res
+        coc_win = None
     return (final_dist, final_coc, dist_win, coc_win, changed_blk_d,
             sel, slab_vox, dmax_new, p1c_new, jnp.asarray(use_p1c))
 
@@ -464,6 +470,13 @@ def merge_frame_impl(
     do_scroll: bool = True,
     use_fence: bool = True,  # static: skip the AABB pass when no box is active
     fuse_raycast: bool = False,  # static: run the projective raycast in-program
+    emit_outputs: bool = True,  # static: False drops the per-frame output
+                        # tensors (edt/coc/dist_sq/glb_type/ogm_changed) from
+                        # the program — the replay scan's non-final frames
+                        # only consume state + scalars, and the reference's
+                        # own timed hot path excludes publishing
+                        # (volumetric_mapper.cpp:186-203 brackets OGM+EDT;
+                        # convertCostMap runs after, untimed)
 ):
     """Fuse one local observation into the global map and refresh the EDT.
 
@@ -608,7 +621,7 @@ def merge_frame_impl(
         gated = _gated_canvas_merge(
             state, canvas_type, old_type, new_type_win, old_type_win,
             win_off, window_mask, present, enter_shift, cfg=cfg,
-            mesh=mesh)
+            mesh=mesh, emit_outputs=emit_outputs)
         (final_dist, final_coc, dist_win_g, coc_win_g, changed_blk_d,
          gate_level, slab_vox, dmax_new, p1c_new, p1c_ok_new) = gated
         relax_iters = jnp.int32(0)
@@ -695,7 +708,7 @@ def merge_frame_impl(
         dist_win, coc_win = dist_win_g, coc_win_g
     else:
         dist_win = win(dist)
-        coc_win = win(coc)
+        coc_win = win(coc) if emit_outputs else None
     pair_valid = dist_win != EMPTY_VALUE
     observed_win = glb_type != VOX_UNKNOWN
     writeback = observed_win & pair_valid
@@ -736,12 +749,13 @@ def merge_frame_impl(
     # EDT output for the motion planner: sqrt of squared grid distance;
     # "sees nothing" voxels get _max_loc_dist_sq exactly like the reference
     # (unify_helper.cuh:467-475,499)
-    edt = jnp.where(
-        observed_win,
-        jnp.where(pair_valid, jnp.sqrt(dist_win.astype(jnp.float32)),
-                  jnp.float32(cfg.max_loc_dist_sq)),
-        0.0,
-    )
+    if emit_outputs:
+        edt = jnp.where(
+            observed_win,
+            jnp.where(pair_valid, jnp.sqrt(dist_win.astype(jnp.float32)),
+                      jnp.float32(cfg.max_loc_dist_sq)),
+            0.0,
+        )
 
     # ---- changed-block tracking for D2H streaming -----------------------
     # occ-VALUE changes count as changed even when the type doesn't flip:
@@ -813,18 +827,7 @@ def merge_frame_impl(
     # (convertCostMap reads the hash, local_batch.h:382-391), and masking
     # makes the outputs a pure function of the stored state — the contract
     # the change-gated EDT splice preserves bit-exactly.
-    coc_glb_win = jnp.where(
-        (observed_win & (coc_win[..., 0] != COC_INVALID16))[..., None],
-        coc_win.astype(jnp.int32) + canvas_origin_vox,
-        jnp.int32(COC_INVALID16),
-    )
-
     outputs = {
-        "edt": edt,                      # float32 [X,Y,Z]
-        "glb_type": glb_type_out,        # int8 [X,Y,Z] incl. FNT marks
-        "dist_sq": jnp.where(observed_win, dist_win, EMPTY_VALUE),
-        "coc": coc_glb_win,              # int32 [X,Y,Z,3] global coords
-        "ogm_changed": ogm_changed,
         "changed_blk": changed_blk,      # bool [bx,by,bz]
         "relax_iters": relax_iters,
         "arch_dropped": state.arch_dropped,
@@ -836,12 +839,26 @@ def merge_frame_impl(
                           else jnp.int32(canvas_size[0] * canvas_size[1]
                                          * canvas_size[2])),
     }
+    if emit_outputs:
+        coc_glb_win = jnp.where(
+            (observed_win & (coc_win[..., 0] != COC_INVALID16))[..., None],
+            coc_win.astype(jnp.int32) + canvas_origin_vox,
+            jnp.int32(COC_INVALID16),
+        )
+        outputs.update({
+            "edt": edt,                  # float32 [X,Y,Z]
+            "glb_type": glb_type_out,    # int8 [X,Y,Z] incl. FNT marks
+            "dist_sq": jnp.where(observed_win, dist_win, EMPTY_VALUE),
+            "coc": coc_glb_win,          # int32 [X,Y,Z,3] global coords
+            "ogm_changed": ogm_changed,
+        })
     return state, outputs
 
 
 merge_frame = partial(jax.jit,
                       static_argnames=("cfg", "input_pointcloud", "mesh",
-                                       "do_scroll", "use_fence", "fuse_raycast"),
+                                       "do_scroll", "use_fence", "fuse_raycast",
+                                       "emit_outputs"),
                       donate_argnums=(0,))(merge_frame_impl)
 
 
@@ -966,26 +983,6 @@ def scroll_frame_step(state, pose, fence_ll, fence_ur, fence_active,
         do_scroll=False, use_fence=use_fence, fuse_raycast=fuse_raycast, **kw)
 
 
-def _out_template(cfg: MapConfig):
-    """Zero-filled outputs dict matching merge_frame_impl's structure (the
-    initial value of the replay scan's last-output carry)."""
-    ls = cfg.local_size
-    cb = cfg.canvas_blocks
-    return {
-        "edt": jnp.zeros(ls, jnp.float32),
-        "glb_type": jnp.zeros(ls, jnp.int8),
-        "dist_sq": jnp.zeros(ls, jnp.int32),
-        "coc": jnp.zeros(ls + (3,), jnp.int32),
-        "ogm_changed": jnp.zeros(ls, jnp.bool_),
-        "changed_blk": jnp.zeros(cb, jnp.bool_),
-        "relax_iters": jnp.int32(0),
-        "arch_dropped": jnp.int32(0),
-        "fnt_count": jnp.int32(0),
-        "gate_level": jnp.int32(-1),
-        "gate_slab_vox": jnp.int32(0),
-    }
-
-
 @partial(jax.jit,
          static_argnames=("cfg", "input_pointcloud", "use_fence",
                           "fuse_raycast", "sensor_kind", "compact_rows",
@@ -1037,8 +1034,11 @@ def replay_frames(state, poses, scrolled, fence_ll, fence_ur, fence_active,
                         compact_cols=compact_cols)
         return s2, shift_block_mask(mask, shift)
 
-    def body(carry, xs):
-        s, _, changed_union = carry
+    SCALAR_YS = ("relax_iters", "fnt_count", "arch_dropped", "gate_level",
+                 "gate_slab_vox")
+
+    def frame(carry, xs, emit):
+        s, changed_union = carry
         pvt, origin_blk, off, rot, origin, s1, s2 = _unpack_pose(xs["pose"])
         enter_shift = jnp.where(xs["scrolled"],
                                 (origin_blk - s.origin_blk) * VB_WIDTH, 0)
@@ -1062,12 +1062,18 @@ def replay_frames(state, poses, scrolled, fence_ll, fence_ur, fence_active,
             enter_shift=enter_shift,
             cfg=cfg, input_pointcloud=input_pointcloud, mesh=mesh,
             do_scroll=False, use_fence=use_fence, fuse_raycast=fuse_raycast,
-            **kw)
+            emit_outputs=emit, **kw)
         changed_union = changed_union | out["changed_blk"]
-        ys = {k: out[k] for k in ("relax_iters", "fnt_count",
-                                  "arch_dropped", "gate_level",
-                                  "gate_slab_vox")}
-        return (s, out, changed_union), ys
+        ys = {k: out[k] for k in SCALAR_YS}
+        return (s, changed_union), out, ys
+
+    def body(carry, xs):
+        # non-final frames run outputs-light: only state + scalars leave the
+        # frame, so the per-frame output tensors (edt, global coc, masked
+        # dist_sq, ogm_changed — ~8-20 MB/frame) are dead code the compiler
+        # drops; the reference's timed hot path excludes publishing too
+        carry, _, ys = frame(carry, xs, emit=False)
+        return carry, ys
 
     xs = {"pose": poses, "scrolled": scrolled}
     if fuse_raycast:
@@ -1077,9 +1083,16 @@ def replay_frames(state, poses, scrolled, fence_ll, fence_ur, fence_active,
     else:
         xs["inst_type"], xs["ray_count"] = inst_type, ray_count
 
-    init = (state, _out_template(cfg),
-            jnp.zeros(cfg.canvas_blocks, jnp.bool_))
-    (state, last_out, changed_union), per_frame = jax.lax.scan(body, init, xs)
+    init = (state, jnp.zeros(cfg.canvas_blocks, jnp.bool_))
+    head = jax.tree.map(lambda a: a[:-1], xs)
+    tail = jax.tree.map(lambda a: a[-1], xs)
+    carry, per_frame = jax.lax.scan(body, init, head)
+    # the final frame runs unrolled with full outputs (the chunk's published
+    # FrameOutput) — state evolution is identical to the all-in-scan form
+    carry, last_out, last_ys = frame(carry, tail, emit=True)
+    state, changed_union = carry
+    per_frame = {k: jnp.concatenate([per_frame[k], last_ys[k][None]])
+                 for k in SCALAR_YS}
     return state, last_out, changed_union, per_frame
 
 

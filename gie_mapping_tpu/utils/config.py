@@ -174,14 +174,24 @@ class MapConfig:
     #             most one cell diameter, so the slab can only grow (by a
     #             few voxels) and outputs stay bit-identical
     #             (tests/test_edt_gate.py).
-    edt_gate_pmode: str = "voxel"
+    # DEFAULT "block" (round 4, same evidence protocol as edt_gate): the
+    # voxel P pass's full-canvas dist read is audited at -89/-296/-108 MB
+    # frame bytes on cow/depthcam/ugv (hlo_gate_pmode_audit.jsonl); the
+    # combined stack A/B (pmode+p1c vs round-3 default) measured 1.035x
+    # depthcam / 1.023x cow with IDENTICAL gate levels in a semi-quiet
+    # window (gate_stack_ab_20260820_semiquiet.jsonl) and neutral under
+    # throttle.  Revert check: watcher payload gate_stack_ab.
+    edt_gate_pmode: str = "block"
     # phase-1 cache for the gated EDT (MapState.p1c): sites change only
     # inside the window's flip bbox on non-scroll frames, so phase 1 is
     # PATCHED over the covering x-slab instead of rescanned over the canvas
     # (scroll/teleport frames rebuild in full — the y site axis shifted).
     # Bit-identical outputs (tests/test_edt_gate.py); single-device gated
     # path only (a mesh ignores it).
-    edt_p1_cache: bool = False
+    # DEFAULT True (round 4, with edt_gate_pmode above): removes the
+    # full-canvas phase-1 rescan + one packed reshard from steady-state
+    # frames (~2.5 passes, audited in hlo_traffic_audit); stack A/B above.
+    edt_p1_cache: bool = True
     max_relax_iters: Optional[int] = None  # cap on fixed-point sweeps (None=auto)
     stream_max_blocks: Optional[int] = None  # compaction size for D2H streaming
     stream_k_cols: Optional[int] = None  # per-tick streamed block-column cap

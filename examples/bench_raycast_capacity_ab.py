@@ -80,7 +80,9 @@ def main():
         cfg = cow_lady_config(max_raycast_points=cap, fuse_raycast=True,
                               display_glb_edt=False, display_glb_ogm=False)
         m = VolumetricMapper(cfg)
-        pts, val = m.stage_pointcloud_batch(clouds)
+        # pad_to=cap: defeat the live-point bucketing (round 4) so the arm
+        # really stages the full capacity this A/B is measuring
+        pts, val = m.stage_pointcloud_batch(clouds, pad_to=cap)
         run = lambda m=m, pts=pts, val=val: m.process_pointcloud_batch(
             poses[N_WARMUP:], pts[N_WARMUP:], val[N_WARMUP:], chunk=CHUNK)
         for i in range(N_WARMUP):

@@ -737,16 +737,33 @@ class VolumetricMapper:
                          sensor=("multiscan", jnp.asarray(rings, jnp.float32),
                                  scalars, proj))
 
-    def stage_pointcloud(self, points_sensor):
-        """Pre-upload a point cloud to the device (padded to capacity).
-        Returns (points_dev, valid_dev) accepted by process_pointcloud —
-        lets callers pipeline sensor DMA ahead of the frame loop."""
+    @staticmethod
+    def _pc_bucket(n, cap):
+        """Smallest power-of-2 staging capacity covering n live points
+        (>=4096, <=cap).  The panorama build's scatters cost per PADDED
+        index (XLA serializes scatter updates: 8x capacity measured 2.0x
+        frame time at fixed live points once the rest of the frame got
+        fast — bench_artifacts/semiquiet_*/raycast_capacity_ab.txt), while
+        the reference pays per actual point (pntcld_map_maker.cpp:49-61).
+        Power-of-2 buckets bound both the padded waste (<2x live) and the
+        compile count (one program per bucket, persistent-cached)."""
+        b = 4096
+        while b < n:
+            b *= 2
+        return min(b, cap)
+
+    def stage_pointcloud(self, points_sensor, pad_to=None):
+        """Pre-upload a point cloud to the device (padded to the live-point
+        bucket, or `pad_to` when given).  Returns (points_dev, valid_dev)
+        accepted by process_pointcloud — lets callers pipeline sensor DMA
+        ahead of the frame loop."""
         cfg = self.cfg
         pts = np.asarray(points_sensor, np.float32)
         n = min(len(pts), cfg.max_raycast_points)
-        buf = np.zeros((cfg.max_raycast_points, 3), np.float32)
+        cap = pad_to or self._pc_bucket(n, cfg.max_raycast_points)
+        buf = np.zeros((cap, 3), np.float32)
         buf[:n] = pts[:n]
-        vmask = np.zeros(cfg.max_raycast_points, bool)
+        vmask = np.zeros(cap, bool)
         vmask[:n] = True
         return jnp.asarray(buf), jnp.asarray(vmask)
 
@@ -754,24 +771,26 @@ class VolumetricMapper:
         """Point-cloud frame (PntcldMapMaker, src/pntcld_map_maker.cpp).
 
         points_sensor: [N,3] float32 in SENSOR frame (transformed to world
-        here, mirroring pntcld_raycast.cu:77,93).  Padded to the static
-        capacity cfg.max_raycast_points.
+        here, mirroring pntcld_raycast.cu:77,93).  Padded to the live-point
+        power-of-2 bucket (capped at cfg.max_raycast_points — see
+        _pc_bucket; the scatter cost is per padded index).
         """
         t0 = time.perf_counter()
         proj = self._sensor_proj(proj)
         cfg = self.cfg
         pvt, origin_blk, off = self._frame_geometry(np.asarray(proj.trans))
         if (isinstance(points_sensor, jax.Array)
-                and points_sensor.shape == (cfg.max_raycast_points, 3)
+                and points_sensor.ndim == 2 and points_sensor.shape[1] == 3
                 and valid is not None):
             # pre-staged device buffers (see stage_pointcloud): no host pass
             buf, vmask = points_sensor, valid
         else:
             pts = np.asarray(points_sensor, np.float32)
             n = min(len(pts), cfg.max_raycast_points)
-            buf = np.zeros((cfg.max_raycast_points, 3), np.float32)
+            cap = self._pc_bucket(n, cfg.max_raycast_points)
+            buf = np.zeros((cap, 3), np.float32)
             buf[:n] = pts[:n]
-            vmask = np.zeros(cfg.max_raycast_points, bool)
+            vmask = np.zeros(cap, bool)
             vmask[:n] = True if valid is None else np.asarray(valid, bool)[:n]
 
         if cfg.raycast_mode == "projective" and cfg.fuse_raycast:
@@ -809,16 +828,22 @@ class VolumetricMapper:
     # also gate whether compaction pays at all on small canvases.
     REPLAY_ROWS, REPLAY_COLS = 256, 32  # minimum buckets
 
-    def stage_pointcloud_batch(self, clouds):
+    def stage_pointcloud_batch(self, clouds, pad_to=None):
         """Pre-upload K point clouds as stacked device buffers
-        ([K,N,3] float32, [K,N] bool) for process_pointcloud_batch."""
+        ([K,N,3] float32, [K,N] bool) for process_pointcloud_batch.
+        N = the batch's live-point bucket (one bucket per batch so the
+        replay scan compiles once), or `pad_to` when given."""
         cfg = self.cfg
         K = len(clouds)
-        buf = np.zeros((K, cfg.max_raycast_points, 3), np.float32)
-        vmask = np.zeros((K, cfg.max_raycast_points), bool)
+        sizes = [min(len(np.asarray(p)), cfg.max_raycast_points)
+                 for p in clouds]
+        cap = pad_to or self._pc_bucket(max(sizes, default=0),
+                                        cfg.max_raycast_points)
+        buf = np.zeros((K, cap, 3), np.float32)
+        vmask = np.zeros((K, cap), bool)
         for i, pts in enumerate(clouds):
             pts = np.asarray(pts, np.float32)
-            n = min(len(pts), cfg.max_raycast_points)
+            n = sizes[i]
             buf[i, :n] = pts[:n]
             vmask[i, :n] = True
         return jnp.asarray(buf), jnp.asarray(vmask)

@@ -317,3 +317,31 @@ def test_replay_batch_fence_churn_and_ext_cloud():
     assert len({s for s in sigs}) >= 2
     assert sum(a != b for a, b in zip(sigs, sigs[1:])) >= 3
     assert m_ref.ext_obs.n >= 2  # ext cloud appended at least one cluster box
+
+
+def test_staging_bucket_matches_full_capacity():
+    """Live-point bucketed staging (round 4: the panorama scatters cost per
+    PADDED index) must be output- and state-identical to staging at the full
+    cfg.max_raycast_points capacity — padded points are masked everywhere."""
+    from gie_mapping_tpu.utils.config import cow_lady_config
+
+    cfg = cow_lady_config(
+        voxel_width=0.2, local_size_m=(4.0, 4.0, 1.6), cutoff_dist=1.0,
+        max_blocks=1024, max_raycast_points=16384, fuse_raycast=True,
+        display_glb_edt=False, display_glb_ogm=False)
+    world = BoxWorld.corridor(seed=5, n_pillars=4, extent=2.5, height=1.5)
+    poses = _linear_poses(6, step=0.4)
+    clouds = [world.pointcloud(p, n_rays=3000, max_range=5.0, seed=i)
+              for i, p in enumerate(poses)]
+
+    m_a = VolumetricMapper(cfg)
+    pts_a, val_a = m_a.stage_pointcloud_batch(clouds)          # bucket: 4096
+    assert pts_a.shape[1] == 4096
+    out_a = m_a.process_pointcloud_batch(poses, pts_a, val_a, chunk=3)
+
+    m_b = VolumetricMapper(cfg)
+    pts_b, val_b = m_b.stage_pointcloud_batch(clouds, pad_to=16384)
+    assert pts_b.shape[1] == 16384
+    out_b = m_b.process_pointcloud_batch(poses, pts_b, val_b, chunk=3)
+
+    _assert_equal(m_a, out_a, m_b, out_b)

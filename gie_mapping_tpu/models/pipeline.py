@@ -708,7 +708,12 @@ def merge_frame_impl(
         dist_win, coc_win = dist_win_g, coc_win_g
     else:
         dist_win = win(dist)
-        coc_win = win(coc) if emit_outputs else None
+        # the relax path's state write-back reads coc_win (the canvas_edt
+        # path splices final_coc from `take` instead) — only the canvas
+        # path may drop it outputs-light
+        coc_win = (win(coc)
+                   if emit_outputs or cfg.merge_mode != "canvas_edt"
+                   else None)
     pair_valid = dist_win != EMPTY_VALUE
     observed_win = glb_type != VOX_UNKNOWN
     writeback = observed_win & pair_valid

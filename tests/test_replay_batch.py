@@ -345,3 +345,17 @@ def test_staging_bucket_matches_full_capacity():
     out_b = m_b.process_pointcloud_batch(poses, pts_b, val_b, chunk=3)
 
     _assert_equal(m_a, out_a, m_b, out_b)
+
+
+def test_replay_batch_relax_engine():
+    """The outputs-light scan must keep the relax engine's coc write-back
+    intact (its state path reads the window coc crop, unlike canvas_edt's
+    take-splice — caught as a latent None in round 4)."""
+    from gie_mapping_tpu.utils.config import cow_lady_config
+
+    cfg = cow_lady_config(
+        voxel_width=0.2, local_size_m=(4.0, 4.0, 1.6), cutoff_dist=1.0,
+        max_blocks=1024, max_raycast_points=2048, fuse_raycast=True,
+        merge_mode="relax",
+        display_glb_edt=False, display_glb_ogm=False)
+    _assert_equal(*_run_pair(cfg, n_frames=6, chunk=3))

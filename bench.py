@@ -38,9 +38,10 @@ N_PASSES = 3  # the shared link throttles unpredictably; report the best pass
 # Realistic ingest scale (VERDICT r3 item 4): real cow-lady clouds are
 # 100-300 k points/frame (reference pntcld_map_maker.cpp:49-61); the
 # headline stages 131072 LIVE points per frame — capacity == live, so the
-# padded-reduction tail is zero by construction (the capacity A/B,
-# bench_artifacts/raycast_capacity_ab_*.jsonl, bounds the 16k->131k padded
-# cost at ~9-11%)
+# padded-scatter tail is zero by construction (the round-4 capacity A/B
+# measured 8x capacity = 2.0x frame time at FIXED live points — the
+# panorama scatters cost per padded index — which is why staging now
+# buckets to the live count; semiquiet_*/raycast_capacity_ab.txt)
 N_RAYS = 131072
 CHUNK = 40  # frames per scanned replay dispatch: the tunnel charges a
 # fixed quantum PER PROGRAM in throttled windows (bench_artifacts/

@@ -51,7 +51,72 @@ class BoxWorld:
 
     # -- analytic sensors ----------------------------------------------
     def ray_march(self, origin, dirs, max_range=30.0, step=0.02):
-        """First-hit range along each direction (numpy ray marching)."""
+        """First-hit range along each direction, on the same sample grid as
+        dense marching (t = step, 2*step, ... < max_range; first sample
+        inside any box — inclusive bounds — or strictly outside the world
+        walls).
+
+        Implemented analytically (slab ray-AABB intervals in float64 +
+        searchsorted onto the float32 sample grid) instead of materialising
+        [rays, samples, 3] points: dense marching cost 22 s/frame at the
+        131 k-ray bench scale, ~1000x this.  `ray_march_dense` keeps the
+        original formulation; tests/test_datasets.py pins exact agreement
+        on the fixture worlds (disagreement requires a sample within ~1 ulp
+        of a box face — measure-zero for the random worlds used)."""
+        o = np.asarray(origin, np.float64)
+        d = np.asarray(dirs, np.float64)
+        R = d.shape[0]
+        ts = np.arange(step, max_range, step, dtype=np.float32)
+        n_t = len(ts)
+        ts64 = ts.astype(np.float64)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / d  # +-inf where d==0 (IEEE semantics)
+
+            def interval_k(tn, tf, strict_lo=False):
+                """First sample index inside [tn, tf] (or (tn, ...) when
+                strict_lo), n_t when none."""
+                side = "right" if strict_lo else "left"
+                k0 = np.searchsorted(ts64, tn, side=side)
+                kk = np.minimum(k0, n_t - 1)
+                ok = (k0 < n_t) & (ts64[kk] <= tf)
+                return np.where(ok, k0, n_t)
+
+            def slab(ll, ur):
+                # d==0 outside the slab: +-inf same sign -> empty interval;
+                # inside: -inf/+inf -> full.  NaN (o exactly on a face with
+                # d==0) counts inside, matching p >= ll & p <= ur.
+                t0 = (np.asarray(ll, np.float64)[None, :] - o[None, :]) * inv
+                t1 = (np.asarray(ur, np.float64)[None, :] - o[None, :]) * inv
+                lo = np.where(np.isnan(np.fmin(t0, t1)), -np.inf,
+                              np.fmin(t0, t1))
+                hi = np.where(np.isnan(np.fmax(t0, t1)), np.inf,
+                              np.fmax(t0, t1))
+                return lo.max(axis=1), hi.min(axis=1)
+
+            first_k = np.full(R, n_t, np.int64)
+            for ll, ur in self.boxes:
+                tn, tf = slab(ll, ur)
+                first_k = np.minimum(first_k, interval_k(tn, tf))
+            # outside the bounding walls (STRICT inequalities): occupied for
+            # every sample strictly past the world-box exit, and before a
+            # (re)entry for rays starting outside
+            tn, tf = slab(self.bounds_ll, self.bounds_ur)
+            first_k = np.minimum(first_k, interval_k(tf, np.inf,
+                                                     strict_lo=True))
+            outside0 = np.any(o < self.bounds_ll.astype(np.float64)) or \
+                np.any(o > self.bounds_ur.astype(np.float64))
+            if outside0:
+                first_k = np.minimum(first_k, interval_k(
+                    np.full(R, -np.inf), np.minimum(tn, np.inf) - 1e-12))
+
+        hit = first_k < n_t
+        return np.where(hit, ts[np.minimum(first_k, n_t - 1)],
+                        np.nan).astype(np.float32)
+
+    def ray_march_dense(self, origin, dirs, max_range=30.0, step=0.02):
+        """Original dense-sampling marcher (the analytic ray_march's oracle;
+        O(rays x samples) memory/compute — test scale only)."""
         origin = np.asarray(origin, np.float32)
         dirs = np.asarray(dirs, np.float32)
         t = np.arange(step, max_range, step, dtype=np.float32)

@@ -59,6 +59,11 @@ PAYLOADS = [
     # relax-engine perf story (VERDICT r3 items 5 and 8)
     ("frame_parts",
      [sys.executable, os.path.join(HERE, "bench_frame_parts.py")], {}),
+    # round-4: depthcam is the config riding the budget line — its stage
+    # bisect in a quiet window locates the remaining structural cost
+    ("frame_parts_depthcam",
+     [sys.executable, os.path.join(HERE, "bench_frame_parts.py"),
+      "--case", "depthcam"], {}),
     ("relax_ab", [sys.executable, os.path.join(HERE, "bench_relax_ab.py")],
      {}),
     ("env_efficiency",

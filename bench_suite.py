@@ -46,9 +46,12 @@ N_PASSES = 3
 CHUNK = 20  # one program per measured pass (per-program throttle quantum;
 # bench_artifacts/throttle_quantum_*.jsonl) — the ladder covers tails
 # depthcam rides the budget line: its quantum share at CHUNK=20 is
-# ~1.25 ms of the 10 ms target, so it scans 40 frames per program (the
-# rolled lax.scan compiles length-independently; staging is cheap)
-CASE_CHUNK = {"depthcam": 40}
+# ~1.25 ms of the 10 ms target, so it scans 80 frames per program (the
+# rolled lax.scan compiles length-independently; staging is cheap).
+# Measured (bench_case_chunk_ab, ~2x window): 40 -> 8.34, 80 -> 7.15
+# ms/frame, consistent across reps
+# (bench_artifacts/depthcam_chunk_ab_20260821_throttled2x.jsonl).
+CASE_CHUNK = {"depthcam": 80}
 K_EDT = 8
 
 # Per-case targets: BASELINE.md names only the cow-lady 10 ms budget; the

@@ -43,15 +43,14 @@ import numpy as np
 N_WARMUP = 2
 N_FRAMES = 20
 N_PASSES = 3
-CHUNK = 20  # one program per measured pass (per-program throttle quantum;
-# bench_artifacts/throttle_quantum_*.jsonl) — the ladder covers tails
-# depthcam rides the budget line: its quantum share at CHUNK=20 is
-# ~1.25 ms of the 10 ms target, so it scans 80 frames per program (the
-# rolled lax.scan compiles length-independently; staging is cheap).
-# Measured (bench_case_chunk_ab, ~2x window): 40 -> 8.34, 80 -> 7.15
-# ms/frame, consistent across reps
-# (bench_artifacts/depthcam_chunk_ab_20260821_throttled2x.jsonl).
-CASE_CHUNK = {"depthcam": 80}
+CHUNK = 40  # one program per measured pass (per-program throttle quantum;
+# bench_artifacts/throttle_quantum_*.jsonl) — the ladder covers tails.
+# The two budget-line configs scan 80 frames per program (the rolled
+# lax.scan compiles length-independently; staging is cheap).  Measured
+# (bench_case_chunk_ab, ~2x windows): depthcam 40 -> 8.34, 80 -> 7.15;
+# ugv_corridor 20 -> 9.33, 40 -> 7.32, 80 -> 5.75 ms/frame, consistent
+# across reps (bench_artifacts/{depthcam,ugv}_chunk_ab_20260821_*.jsonl).
+CASE_CHUNK = {"depthcam": 80, "ugv_corridor": 80}
 K_EDT = 8
 
 # Per-case targets: BASELINE.md names only the cow-lady 10 ms budget; the

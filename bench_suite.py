@@ -45,12 +45,14 @@ N_FRAMES = 20
 N_PASSES = 3
 CHUNK = 40  # one program per measured pass (per-program throttle quantum;
 # bench_artifacts/throttle_quantum_*.jsonl) — the ladder covers tails.
-# The two budget-line configs scan 80 frames per program (the rolled
+# The two budget-line configs scan 160 frames per program (the rolled
 # lax.scan compiles length-independently; staging is cheap).  Measured
-# (bench_case_chunk_ab, ~2x windows): depthcam 40 -> 8.34, 80 -> 7.15;
-# ugv_corridor 20 -> 9.33, 40 -> 7.32, 80 -> 5.75 ms/frame, consistent
-# across reps (bench_artifacts/{depthcam,ugv}_chunk_ab_20260821_*.jsonl).
-CASE_CHUNK = {"depthcam": 80, "ugv_corridor": 80}
+# ladder (bench_case_chunk_ab, ~2-3x windows): depthcam 40 -> 8.34,
+# 80 -> 7.15, 160 -> 6.65; ugv_corridor 20 -> 9.33, 40 -> 7.32,
+# 80 -> 5.75-5.90, 160 -> 5.63 ms/frame
+# (bench_artifacts/{depthcam,ugv}_chunk*_ab_20260821*.jsonl); beyond 160
+# the F/chunk quantum share is < 0.3 ms — device work is the floor.
+CASE_CHUNK = {"depthcam": 160, "ugv_corridor": 160}
 K_EDT = 8
 
 # Per-case targets: BASELINE.md names only the cow-lady 10 ms budget; the

@@ -1062,10 +1062,17 @@ class VolumetricMapper:
             else:
                 extra = {"sensor_data": data["sensor_data"][i:i + n],
                          "sensor_kind": sensor_kind}
+            # scroll-free runs compile the scan body WITHOUT the scroll
+            # cond (its identity branch copies every carried canvas buffer
+            # per frame) and with stable compact statics (no archive IO)
+            has_scrolls = bool(scrolled.any())
+            if not has_scrolls:
+                cr = cc = None
             self.state, out, changed_union, per_frame = replay_frames(
                 self.state, jnp.asarray(pose_h), jnp.asarray(scrolled), *fence,
                 cfg=cfg, input_pointcloud=input_pointcloud, use_fence=fence_on,
-                compact_rows=cr, compact_cols=cc, mesh=self.mesh, **extra)
+                compact_rows=cr, compact_cols=cc, mesh=self.mesh,
+                has_scrolls=has_scrolls, **extra)
             last = plan[-1]
             self._origin = np.asarray(last[1]).copy()
             self.map_ct += n

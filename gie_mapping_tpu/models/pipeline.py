@@ -991,7 +991,7 @@ def scroll_frame_step(state, pose, fence_ll, fence_ur, fence_active,
 @partial(jax.jit,
          static_argnames=("cfg", "input_pointcloud", "use_fence",
                           "fuse_raycast", "sensor_kind", "compact_rows",
-                          "compact_cols", "mesh"),
+                          "compact_cols", "mesh", "has_scrolls"),
          donate_argnums=(0,))
 def replay_frames(state, poses, scrolled, fence_ll, fence_ur, fence_active,
                   fence_n, inst_type=None, ray_count=None, points=None,
@@ -1000,7 +1000,8 @@ def replay_frames(state, poses, scrolled, fence_ll, fence_ur, fence_active,
                   use_fence: bool = True, fuse_raycast: bool = False,
                   sensor_kind: str | None = None,
                   compact_rows: int | None = None,
-                  compact_cols: int | None = None, mesh=None):
+                  compact_cols: int | None = None, mesh=None,
+                  has_scrolls: bool = True):
     """Throughput/replay mode: K frames in ONE jitted `lax.scan` program.
 
     The per-frame entries (frame_step / scroll_frame_step) pay one
@@ -1017,6 +1018,14 @@ def replay_frames(state, poses, scrolled, fence_ll, fence_ur, fence_active,
     the mapper verifies every scroll in the batch fits and falls back to the
     per-frame path otherwise).  State evolution is bit-identical to the
     per-frame loop (tests/test_replay_batch.py).
+
+    `has_scrolls=False` (static) compiles the scan body WITHOUT the scroll
+    cond: a traced `lax.cond` identity branch copies every carried canvas
+    buffer each iteration (CLAUDE.md round-1 finding), so scroll-free runs
+    — stationary robots, slow sensors, the frozen-state engine A/B — pay a
+    full-state copy per frame for nothing.  The mapper passes it per run
+    from the host-side plan; callers setting it must pass scrolled=False
+    for every frame (checked only by the plan, not in-program).
 
     Args (scanned along axis 0, length K):
       poses:    float32 [K,9,3] packed per-frame pose (see _unpack_pose).
@@ -1045,12 +1054,15 @@ def replay_frames(state, poses, scrolled, fence_ll, fence_ur, fence_active,
     def frame(carry, xs, emit):
         s, changed_union = carry
         pvt, origin_blk, off, rot, origin, s1, s2 = _unpack_pose(xs["pose"])
-        enter_shift = jnp.where(xs["scrolled"],
-                                (origin_blk - s.origin_blk) * VB_WIDTH, 0)
-        s, changed_union = jax.lax.cond(
-            xs["scrolled"], scroll_branch, lambda op: (op[0], op[1]),
-            (s, changed_union, origin_blk),
-        )
+        if has_scrolls:
+            enter_shift = jnp.where(xs["scrolled"],
+                                    (origin_blk - s.origin_blk) * VB_WIDTH, 0)
+            s, changed_union = jax.lax.cond(
+                xs["scrolled"], scroll_branch, lambda op: (op[0], op[1]),
+                (s, changed_union, origin_blk),
+            )
+        else:
+            enter_shift = jnp.zeros_like(origin_blk)
         kw = {}
         if fuse_raycast:
             inst = jnp.zeros(cfg.local_size, jnp.int8)

@@ -92,6 +92,42 @@ def test_replay_batch_compacted_scroll():
     assert m_bat.replay_scanned_scrolls >= 1
 
 
+def test_replay_batch_scroll_free_run():
+    """A batch whose plan contains ZERO scrolls dispatches the no-cond scan
+    body (has_scrolls=False — the scroll cond's identity branch copies every
+    carried canvas buffer per frame, so scroll-free runs skip it entirely)
+    and must stay bit-identical to the per-frame loop."""
+    cfg = cow_lady_config(
+        voxel_width=0.2, local_size_m=(4.0, 4.0, 1.6), cutoff_dist=1.0,
+        max_blocks=1024, max_raycast_points=256, fuse_raycast=True,
+        display_glb_edt=False, display_glb_ogm=False)
+    world = BoxWorld.corridor(seed=3, n_pillars=5, extent=3.0, height=2.0)
+    eye = np.eye(3, dtype=np.float32)
+    # tiny jitter around a fixed spot: the canvas origin never moves
+    poses = [geo.Projection(rot=eye,
+                            trans=np.asarray([0.03 * (i % 3), 0.02 * (i % 2),
+                                              0.9], np.float32))
+             for i in range(8)]
+    clouds = [world.pointcloud(p, n_rays=cfg.max_raycast_points, max_range=6.0,
+                               seed=i) for i, p in enumerate(poses)]
+
+    m_ref = VolumetricMapper(cfg)
+    pts_r, val_r = m_ref.stage_pointcloud_batch(clouds)
+    for i, p in enumerate(poses):
+        out_ref = m_ref.process_pointcloud(p, pts_r[i], val_r[i])
+
+    m_bat = VolumetricMapper(cfg)
+    pts_b, val_b = m_bat.stage_pointcloud_batch(clouds)
+    # one per-frame call to establish the origin (a fresh map's first frame
+    # always takes the per-frame path), then a scroll-free scanned batch
+    m_bat.process_pointcloud(poses[0], pts_b[0], val_b[0])
+    out_bat = m_bat.process_pointcloud_batch(poses[1:], pts_b[1:], val_b[1:],
+                                             chunk=7)
+    assert m_bat.replay_scanned_frames >= 7
+    assert m_bat.replay_scanned_scrolls == 0
+    _assert_equal(m_ref, out_ref, m_bat, out_bat)
+
+
 def test_replay_batch_archive_roundtrip():
     """Out-and-back trajectory: blocks archived by in-scan scrolls must be
     re-fetched from the archive by later in-scan scrolls, matching the

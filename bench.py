@@ -55,6 +55,47 @@ TARGET_MS = 10.0
 QUIET_MS = 4.5
 RETRY_BUDGET_S = 900.0
 
+# The final JSON line must be IMPOSSIBLE to lose (BENCH_r04 was rc=124/
+# parsed=null: the retry loop overran the driver's capture timeout and the
+# one parsable line never printed).  Policy: emit the full best-so-far JSON
+# line to stdout after the initial passes AND after every retry (the driver
+# keeps the last parsable line), and re-emit it from atexit/SIGTERM/SIGINT
+# so even `timeout`-style termination mid-retry captures the result.
+_BEST_LINE = {"line": None}
+
+
+def _emit_result(obj):
+    import sys
+
+    line = json.dumps(obj)
+    _BEST_LINE["line"] = line
+    print(line, flush=True)
+    sys.stdout.flush()
+
+
+def _install_last_resort():
+    import atexit
+    import os
+    import signal
+    import sys
+
+    def _dump_and_die(signum, _frame):
+        if _BEST_LINE["line"]:
+            print(_BEST_LINE["line"], flush=True)
+            sys.stdout.flush()
+        os._exit(128 + signum)
+
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+        try:
+            signal.signal(sig, _dump_and_die)
+        except (ValueError, OSError):
+            pass
+
+    @atexit.register
+    def _dump():
+        if _BEST_LINE["line"]:
+            print(_BEST_LINE["line"], flush=True)
+
 
 def _wait_for_backend(max_wait_s: float = 2400.0):
     """Block until the TPU backend is reachable (the shared tunnel goes down
@@ -86,6 +127,7 @@ def _wait_for_backend(max_wait_s: float = 2400.0):
 
 
 def main():
+    _install_last_resort()
     _wait_for_backend()
     import jax
 
@@ -152,50 +194,60 @@ def main():
         _ = int(np.asarray(out.device("relax_iters")))
         return out, (time.perf_counter() - t0 - link_latency) * 1e3 / N_FRAMES
 
+    retry_budget = float(os.environ.get("GIE_BENCH_RETRY_S", RETRY_BUDGET_S))
+
+    def result(per_pass, retries, out):
+        per_frame_ms = max(min(per_pass), 1e-6)
+        vox_rate = cfg.map_volume * 1e3 / per_frame_ms / 1e6
+        return {
+            "metric": "cowlady_ogm_edt_ms_per_frame",
+            "value": round(per_frame_ms, 3),
+            "unit": "ms",
+            "vs_baseline": round(TARGET_MS / per_frame_ms, 3),
+            "extra": {
+                "frames": N_FRAMES,
+                "dispatch_mode": f"scan_chunk_{CHUNK}",
+                "link_latency_ms": round(link_latency * 1e3, 2),
+                "mvoxels_per_s": round(vox_rate, 2),
+                "relax_iters_last": int(np.asarray(out.device("relax_iters"))),
+                # change-gated EDT observability: menu level of the last frame
+                # (3 = full recompute, lower = smaller slab) + its voxel count
+                "gate_level_last": int(np.asarray(out.device("gate_level"))),
+                "gate_slab_vox_last":
+                    int(np.asarray(out.device("gate_slab_vox"))),
+                "rays_per_frame": N_RAYS,
+                "passes": len(per_pass),
+                "throttle_retries": retries,
+                # explicit window label: a value above QUIET_MS means the
+                # shared tunnel stayed throttled through the whole retry
+                # budget — compare against quiet-window captures in
+                # bench_artifacts/, not across windows (docs/PERF.md §1)
+                "window": "quiet" if per_frame_ms <= QUIET_MS else
+                          f"throttled (best pass above {QUIET_MS} ms; "
+                          f"retry budget {int(retry_budget)} s)",
+            },
+        }
+
     per_pass = []
     for _p in range(N_PASSES):
         out, ms = one_pass()
         per_pass.append(ms)
     retries = 0
-    retry_budget = float(os.environ.get("GIE_BENCH_RETRY_S", RETRY_BUDGET_S))
+    # best-so-far is now on record: any external timeout from here on still
+    # leaves a parsable line in the driver's capture
+    _emit_result(result(per_pass, retries, out))
     deadline = time.time() + retry_budget
     while min(per_pass) > QUIET_MS and time.time() < deadline:
         time.sleep(min(60.0, max(0.0, deadline - time.time())))
-        out, ms = one_pass()
+        out2, ms = one_pass()
         per_pass.append(ms)
         retries += 1
         print(f"bench: throttled window (best {min(per_pass):.2f} ms), "
               f"retry {retries}: {ms:.2f} ms", file=sys.stderr)
-    per_frame_ms = max(min(per_pass), 1e-6)
-    vox_rate = cfg.map_volume * 1e3 / per_frame_ms / 1e6
-
-    print(json.dumps({
-        "metric": "cowlady_ogm_edt_ms_per_frame",
-        "value": round(per_frame_ms, 3),
-        "unit": "ms",
-        "vs_baseline": round(TARGET_MS / per_frame_ms, 3),
-        "extra": {
-            "frames": N_FRAMES,
-            "dispatch_mode": f"scan_chunk_{CHUNK}",
-            "link_latency_ms": round(link_latency * 1e3, 2),
-            "mvoxels_per_s": round(vox_rate, 2),
-            "relax_iters_last": int(np.asarray(out.device("relax_iters"))),
-            # change-gated EDT observability: menu level of the last frame
-            # (3 = full recompute, lower = smaller slab) and its voxel count
-            "gate_level_last": int(np.asarray(out.device("gate_level"))),
-            "gate_slab_vox_last": int(np.asarray(out.device("gate_slab_vox"))),
-            "rays_per_frame": N_RAYS,
-            "passes": len(per_pass),
-            "throttle_retries": retries,
-            # explicit window label: a value above QUIET_MS means the shared
-            # tunnel stayed throttled through the whole retry budget — compare
-            # against quiet-window captures in bench_artifacts/, not across
-            # windows (CLAUDE.md / docs/PERF.md §1)
-            "window": "quiet" if per_frame_ms <= QUIET_MS else
-                      f"throttled (no window below {QUIET_MS} ms within "
-                      f"{int(retry_budget)} s)",
-        },
-    }))
+        if ms <= min(per_pass[:-1]):
+            out = out2
+        _emit_result(result(per_pass, retries, out))
+    _emit_result(result(per_pass, retries, out))
 
 
 if __name__ == "__main__":

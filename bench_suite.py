@@ -55,6 +55,30 @@ CHUNK = 40  # one program per measured pass (per-program throttle quantum;
 CASE_CHUNK = {"depthcam": 160, "ugv_corridor": 160}
 K_EDT = 8
 
+# Trajectory sampling granularity (ADVICE r4): the angular step is FIXED at
+# BASE_FRAMES poses per closed loop regardless of chunk.  Previously
+# n_frames == chunk sampled the same circle chunk-times finer, so longer
+# programs got genuinely easier frames (per-frame motion, scroll count and
+# gated-EDT work all ~1/chunk — the same signature as the throttle
+# quantum).  Now longer programs wind chunk/BASE_FRAMES full loops of the
+# SAME 40-pose circle (closed wrap -> ordinary scrolls), so chunk varies
+# ONLY the per-program fixed cost being amortised, and per-frame device
+# work matches a real fixed-frame-rate sensor.
+BASE_FRAMES = 40
+
+
+def case_world_poses(cfg, chunk):
+    """(world, poses_m, n_frames) at the fixed BASE_FRAMES step granularity."""
+    from gie_mapping_tpu.runtime.datasets import BoxWorld, circular_trajectory
+
+    extent = min(cfg.local_size_m[0] * 0.45, 4.5)
+    world = BoxWorld.corridor(seed=11, n_pillars=8, extent=extent,
+                              height=max(cfg.local_size_m[2], 2.5))
+    loops = max(1, (chunk + BASE_FRAMES - 1) // BASE_FRAMES)
+    base = circular_trajectory(n_frames=BASE_FRAMES, radius=extent * 0.35,
+                               height=cfg.local_size_m[2] * 0.4, closed=True)
+    return world, base * loops, BASE_FRAMES * loops
+
 # Per-case targets: BASELINE.md names only the cow-lady 10 ms budget; the
 # others reuse it as the common "real-time at 2 Hz with huge margin" bar.
 TARGET_MS = 10.0
@@ -107,7 +131,6 @@ def bench_case(case: str, link_ms: float):
 
     from gie_mapping_tpu.models.mapper import VolumetricMapper
     from gie_mapping_tpu.ops.edt_batch import batch_edt
-    from gie_mapping_tpu.runtime.datasets import BoxWorld, circular_trajectory
     from gie_mapping_tpu.utils.config import load_config
 
     overrides = dict(display_glb_edt=False, display_glb_ogm=False,
@@ -116,13 +139,8 @@ def bench_case(case: str, link_ms: float):
         overrides.update(max_raycast_points=16384, fuse_raycast=True)
     cfg = load_config(case, **overrides)
 
-    n_frames = chunk = CASE_CHUNK.get(case, CHUNK)
-    extent = min(cfg.local_size_m[0] * 0.45, 4.5)
-    world = BoxWorld.corridor(seed=11, n_pillars=8, extent=extent,
-                              height=max(cfg.local_size_m[2], 2.5))
-    poses_m = circular_trajectory(n_frames=n_frames, radius=extent * 0.35,
-                                  height=cfg.local_size_m[2] * 0.4,
-                                  closed=True)
+    chunk = CASE_CHUNK.get(case, CHUNK)
+    world, poses_m, n_frames = case_world_poses(cfg, chunk)
     poses = poses_m[:N_WARMUP] + poses_m  # closed loop: passes wrap with an
     # ordinary scroll -> each pass plans as one scan program
     kind, data, kw = _make_frames(case, cfg, world, poses)

@@ -41,15 +41,15 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
-    from bench import N_WARMUP, _wait_for_backend
-    from bench_suite import _link_latency, _make_frames
+    from bench import _wait_for_backend
+    from bench_suite import (N_WARMUP, _link_latency, _make_frames,
+                             case_world_poses)
 
     _wait_for_backend()
 
     import jax.numpy as jnp
 
     from gie_mapping_tpu.models.mapper import VolumetricMapper
-    from gie_mapping_tpu.runtime.datasets import BoxWorld, circular_trajectory
     from gie_mapping_tpu.utils.config import load_config
 
     link_ms = _link_latency() * 1e3
@@ -61,17 +61,14 @@ def main():
         overrides.update(max_raycast_points=16384, fuse_raycast=True)
     cfg = load_config(args.case, **overrides)
 
-    extent = min(cfg.local_size_m[0] * 0.45, 4.5)
-    world = BoxWorld.corridor(seed=11, n_pillars=8, extent=extent,
-                              height=max(cfg.local_size_m[2], 2.5))
-
-    # one mapper + frame set per arm (bench_suite's n_frames == chunk shape:
-    # each measured pass is exactly one scan program)
+    # one mapper + frame set per arm.  Trajectory step is DECOUPLED from
+    # chunk (ADVICE r4, bench_suite.case_world_poses): every arm walks the
+    # same 40-pose circle per loop; chunk only varies program length.
     arms = {}
+    nf = {}
     for c in chunks:
-        poses_m = circular_trajectory(n_frames=c, radius=extent * 0.35,
-                                      height=cfg.local_size_m[2] * 0.4,
-                                      closed=True)
+        world, poses_m, n_frames = case_world_poses(cfg, c)
+        nf[c] = n_frames
         poses = poses_m[:N_WARMUP] + poses_m
         kind, data, kw = _make_frames(args.case, cfg, world, poses)
         mapper = VolumetricMapper(cfg)
@@ -99,7 +96,7 @@ def main():
                     pc(p[i], d[i], *kww.values()))(per_call, poses, dev, kw)
         for i in range(N_WARMUP):
             warm(i)
-        out = run(N_WARMUP, N_WARMUP + c)
+        out = run(N_WARMUP, N_WARMUP + nf[c])
         _ = int(np.asarray(out.device("relax_iters")))  # compile + sync
         arms[c] = run
 
@@ -107,9 +104,10 @@ def main():
     for _rep in range(args.reps):
         for c in chunks:
             t0 = time.perf_counter()
-            out = arms[c](N_WARMUP, N_WARMUP + c)
+            out = arms[c](N_WARMUP, N_WARMUP + nf[c])
             _ = int(np.asarray(out.device("relax_iters")))
-            times[c].append(((time.perf_counter() - t0) * 1e3 - link_ms) / c)
+            times[c].append(
+                ((time.perf_counter() - t0) * 1e3 - link_ms) / nf[c])
 
     print(json.dumps({
         "metric": f"{args.case}_chunk_ab_ms_per_frame",

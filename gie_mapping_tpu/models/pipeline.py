@@ -988,12 +988,32 @@ def scroll_frame_step(state, pose, fence_ll, fence_ur, fence_active,
         do_scroll=False, use_fence=use_fence, fuse_raycast=fuse_raycast, **kw)
 
 
+def replay_frames(state, poses, scrolled, *args, has_scrolls: bool = True,
+                  **kw):
+    """Un-jitted contract guard over `_replay_frames_impl` (ADVICE r4).
+
+    `has_scrolls=False` compiles the scan body WITHOUT the scroll cond; a
+    caller passing a scrolling frame under it would silently skip the scroll
+    and corrupt origin/canvas state.  `scrolled` is concrete at every call
+    site (host-planned), so check it here before dispatch."""
+    if not has_scrolls:
+        import numpy as _np
+
+        if bool(_np.asarray(scrolled).any()):
+            raise ValueError(
+                "replay_frames(has_scrolls=False) requires scrolled[k] == "
+                "False for every frame; got a scrolling frame. Pass "
+                "has_scrolls=True (or plan per-run like VolumetricMapper).")
+    return _replay_frames_impl(state, poses, scrolled, *args,
+                               has_scrolls=has_scrolls, **kw)
+
+
 @partial(jax.jit,
          static_argnames=("cfg", "input_pointcloud", "use_fence",
                           "fuse_raycast", "sensor_kind", "compact_rows",
                           "compact_cols", "mesh", "has_scrolls"),
          donate_argnums=(0,))
-def replay_frames(state, poses, scrolled, fence_ll, fence_ur, fence_active,
+def _replay_frames_impl(state, poses, scrolled, fence_ll, fence_ur, fence_active,
                   fence_n, inst_type=None, ray_count=None, points=None,
                   pts_valid=None, sensor_data=None, *,
                   cfg: MapConfig, input_pointcloud: bool,
@@ -1025,7 +1045,7 @@ def replay_frames(state, poses, scrolled, fence_ll, fence_ur, fence_active,
     — stationary robots, slow sensors, the frozen-state engine A/B — pay a
     full-state copy per frame for nothing.  The mapper passes it per run
     from the host-side plan; callers setting it must pass scrolled=False
-    for every frame (checked only by the plan, not in-program).
+    for every frame (enforced by the un-jitted `replay_frames` wrapper).
 
     Args (scanned along axis 0, length K):
       poses:    float32 [K,9,3] packed per-frame pose (see _unpack_pose).

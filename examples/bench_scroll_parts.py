@@ -60,16 +60,17 @@ def timed(step, carry):
 
 
 def main():
-    cfg = cow_lady_config()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", default="cow_lady")
+    args = ap.parse_args()
+
+    from gie_mapping_tpu.utils.config import load_config
+    cfg = load_config(args.case)
     cb = cfg.canvas_blocks
     rng = np.random.default_rng(0)
     st = MapState.create(cfg)
     occ = rng.random(cfg.canvas_size) < 0.03
-    st = st.__class__(**{
-        **{f: getattr(st, f) for f in
-           ("origin_blk", "occ_val", "vox_type", "dist_sq", "coc", "present",
-            "arch_keys", "n_arch", "a_packed", "arch_dropped")},
-    })
     import dataclasses
     st = dataclasses.replace(
         st,
@@ -86,9 +87,10 @@ def main():
         return _do_scroll(s, tgt, cfg)
 
     def compact(s):
+        # same (rows, cols) buckets the mapper derives for a 1-block x shift
         tgt = s.origin_blk.at[0].add(
             jnp.where((s.origin_blk[0] % 2) == 0, 1, -1))
-        return _do_scroll(s, tgt, cfg, compact_rows=256)
+        return _do_scroll(s, tgt, cfg, compact_rows=256, compact_cols=32)
 
     def pack_only(s):
         p = pack_voxels(s.occ_val, s.vox_type, s.dist_sq, s.coc)
@@ -149,18 +151,65 @@ def main():
         return dataclasses.replace(
             s, arch_keys=nk, origin_blk=s.origin_blk.at[0].add(1))
 
+    # finer stages of the compact scroll (round 5: the scroll step is the
+    # budget-line frontier — locate where its ~4 ms actually goes)
+    from gie_mapping_tpu.map_state import (_PACKED_DEFAULT, COC_INVALID16)
+    from gie_mapping_tpu.ops.pallas.blockrows import (
+        gather_block_rows, scatter_archive_rows, shift_canvas_pallas)
+
+    cs = cfg.canvas_size
+    X_, Y_, Z_ = cs
+    L_ = 3 * Z_
+    defaults = jnp.tile(jnp.asarray(_PACKED_DEFAULT, jnp.uint32),
+                        Z_).reshape(1, 1, L_)
+
+    def shift_kernel_only(s):
+        p = pack_voxels(s.occ_val, s.vox_type, s.dist_sq, s.coc)
+        sh = jnp.where((s.origin_blk[0] % 2) == 0, 1, -1)
+        shift_blk = jnp.zeros(3, jnp.int32).at[0].set(sh)
+        cvv = shift_canvas_pallas(p.reshape(X_, Y_, L_), defaults, shift_blk,
+                                  zshift_blk=0)
+        o, t, d, c = unpack_voxels(cvv.reshape(cs + (3,)))
+        return dataclasses.replace(
+            s, dist_sq=d, coc=c, occ_val=o, vox_type=t,
+            origin_blk=s.origin_blk.at[0].add(sh))
+
+    def coc_reanchor_only(s):
+        sv = jnp.zeros(3, jnp.int32).at[0].set(8)
+        cvalid = s.coc[..., 0] != COC_INVALID16
+        coc = jnp.where(cvalid[..., None],
+                        (s.coc.astype(jnp.int32) - sv).astype(jnp.int16),
+                        jnp.int16(COC_INVALID16))
+        return dataclasses.replace(
+            s, coc=coc, origin_blk=s.origin_blk.at[0].add(1))
+
+    def archive_put_only(s):
+        p = pack_voxels(s.occ_val, s.vox_type, s.dist_sq, s.coc)
+        cids = jnp.arange(32, dtype=jnp.int32) + (s.origin_blk[0] % 2)
+        crows = gather_block_rows(p, cids, cb)
+        slots = (jnp.arange(32 * cb[2], dtype=jnp.int32) + s.origin_blk[0]
+                 ) % s.a_packed.shape[0]
+        ap2 = scatter_archive_rows(
+            s.a_packed, crows, slots,
+            jnp.ones(32 * cb[2], jnp.int32))
+        return dataclasses.replace(
+            s, a_packed=ap2, origin_blk=s.origin_blk.at[0].add(1))
+
     for name, fn in [
         ("full scroll", full),
         ("directory build", dir_build),
-        ("arch_keys 3610-row scatter", keys_scatter),
+        ("arch_keys full-canvas-row scatter", keys_scatter),
         ("dynamic rolls x4 arrays", dyn_rolls),
         ("packed 3-axis dynamic roll", dyn_rolls_3axis_packed),
-        ("compact scroll (256)", compact),
+        ("compact scroll (256/32)", compact),
+        ("pack + shift kernel + unpack", shift_kernel_only),
+        ("coc re-anchor passes", coc_reanchor_only),
+        ("archive put (gather+row scatter)", archive_put_only),
         ("pack+unpack only", pack_only),
         ("pack+block roundtrip", blocks_rt),
         ("4 dense rolls", rolls),
     ]:
-        print(f"{name}: {timed(fn, st):.2f} ms")
+        print(f"{name}: {timed(fn, st):.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

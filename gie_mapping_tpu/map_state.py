@@ -426,16 +426,20 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
 
         def mk(zk):
             return lambda c: shift_canvas_pallas(c, defaults, shift_blk,
-                                                 zshift_blk=zk)
+                                                 zshift_blk=zk,
+                                                 reanchor_blk=shift_blk)
 
         def composed(c):
             # rolling by a multiple of LW_ maps default lanes onto default
             # lanes, so xy-shift-then-z-roll composes exactly; out-of-range
             # z (|zb| >= cbz, incl. the single-z-block canvas) falls out as
-            # all-defaults through the lane mask
+            # all-defaults through the lane mask.  reanchor uses the FULL
+            # shift (incl. z) — coc re-anchor is per-voxel value arithmetic,
+            # independent of which pass moves the voxel.
             shifted = shift_canvas_pallas(c, defaults,
                                           shift_blk.at[2].set(0),
-                                          zshift_blk=0)
+                                          zshift_blk=0,
+                                          reanchor_blk=shift_blk)
             zl = shift_blk[2] * LW_
             rolled = jnp.roll(shifted, -zl, axis=2)
             lane = jnp.arange(L_, dtype=jnp.int32)
@@ -523,16 +527,20 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
     present = present | entering
 
     occ_val, vox_type, dist_sq, coc = unpack_voxels(packed)
-    # re-anchor to the new canvas origin: entering blocks were written
-    # new-anchored above; surviving voxels shift by -sv
-    enter_vox = jnp.repeat(
-        jnp.repeat(jnp.repeat(entering, VB_WIDTH, 0), VB_WIDTH, 1),
-        VB_WIDTH, 2)
-    cvalid = coc[..., 0] != COC_INVALID16
-    adj = jnp.where(enter_vox[..., None], 0, sv.astype(jnp.int32))
-    coc = jnp.where(cvalid[..., None],
-                    (coc.astype(jnp.int32) - adj).astype(jnp.int16),
-                    jnp.int16(COC_INVALID16))
+    if not shift_pallas:
+        # re-anchor to the new canvas origin: entering blocks were written
+        # new-anchored above; surviving voxels shift by -sv.  (The Pallas
+        # shift kernel re-anchors survivors IN the shift pass —
+        # reanchor_blk above — so this full-canvas fix-up only exists on
+        # the XLA fallback path.)
+        enter_vox = jnp.repeat(
+            jnp.repeat(jnp.repeat(entering, VB_WIDTH, 0), VB_WIDTH, 1),
+            VB_WIDTH, 2)
+        cvalid = coc[..., 0] != COC_INVALID16
+        adj = jnp.where(enter_vox[..., None], 0, sv.astype(jnp.int32))
+        coc = jnp.where(cvalid[..., None],
+                        (coc.astype(jnp.int32) - adj).astype(jnp.int16),
+                        jnp.int16(COC_INVALID16))
 
     return dataclasses.replace(
         state,

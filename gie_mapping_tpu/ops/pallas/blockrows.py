@@ -247,7 +247,8 @@ def scatter_archive_rows(a_packed, rows, ids, valid, *,
 # Canvas shift: the scroll's dense roll + exposed-fill as ONE kernel pass
 # ---------------------------------------------------------------------------
 
-def _shift_kernel(Xb, Yb, L, zl, s_ref, defaults_ref, src_ref, out_ref):
+def _shift_kernel(Xb, Yb, L, zl, reanchor, s_ref, defaults_ref, src_ref,
+                  out_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (W, W, L), 0)
@@ -263,12 +264,34 @@ def _shift_kernel(Xb, Yb, L, zl, s_ref, defaults_ref, src_ref, out_ref):
     if zl != 0:      # static lane rotation, either sign (tpu.dynamic_rotate
         # needs 128-aligned lanes; static slices do not)
         blk = jnp.concatenate([blk[:, :, zl:], blk[:, :, :zl]], axis=2)
-    out_ref[...] = jnp.where(valid, blk, defaults_ref[...])
+    blk = jnp.where(valid, blk, defaults_ref[...])
+    if reanchor:
+        # fused coc re-anchor (packed-domain): surviving voxels' canvas-
+        # relative cocs shift by -s_ref[3:6]*W.  Lane l%3==1 carries
+        # (cx | cy<<16), l%3==2 carries cz; the COC_INVALID16 sentinel
+        # (0x7FFF) passes through per 16-bit half (a valid coc is within
+        # ~1000 voxels of its canvas voxel, so it never equals the
+        # sentinel).  Subtraction mod 2^16 == the XLA path's int32-then-
+        # cast-to-int16 wraparound.  Exposed lanes just got the defaults
+        # pattern (all-sentinel) and pass through; entering archive rows
+        # are written after this kernel with their own anchoring.
+        lm = jax.lax.rem(lane, jnp.int32(3))
+        rx = (s_ref[3] * W).astype(jnp.uint32)
+        ry = (s_ref[4] * W).astype(jnp.uint32)
+        rz = (s_ref[5] * W).astype(jnp.uint32)
+        lo = blk & 0xFFFF
+        hi = blk >> 16
+        sent = jnp.uint32(0x7FFF)
+        lo_delta = jnp.where(lm == 1, rx, rz)
+        new_lo = jnp.where(lo == sent, lo, (lo - lo_delta) & 0xFFFF)
+        new_hi = jnp.where((lm == 1) & (hi != sent), (hi - ry) & 0xFFFF, hi)
+        blk = jnp.where(lm == 0, blk, new_lo | (new_hi << 16))
+    out_ref[...] = blk
 
 
 @functools.partial(jax.jit, static_argnames=("zshift_blk", "interpret"))
 def shift_canvas_pallas(cv, defaults, shift_blk, *, zshift_blk: int = 0,
-                        interpret: bool = False):
+                        reanchor_blk=None, interpret: bool = False):
     """Dense canvas scroll shift in ONE read + ONE write.
 
     out[x, y, l] = cv[x + 8*sb0, y + 8*sb1, l + 24*zb] where the source is
@@ -290,6 +313,11 @@ def shift_canvas_pallas(cv, defaults, shift_blk, *, zshift_blk: int = 0,
       defaults: uint32 [1, 1, L] per-lane fill (the packed default pattern).
       shift_blk: int32 [3] scroll shift in BLOCK units (voxel shift / 8);
         the z component must equal zshift_blk (static).
+      reanchor_blk: optional int32 [3] — when given, surviving voxels'
+        packed cocs are re-anchored by -reanchor_blk*8 IN the same pass
+        (the scroll's canvas-relative coc fix; see _shift_kernel).  Pass
+        the FULL scroll shift here even when the movement's z component is
+        handled by a separate composed roll.
     """
     X, Y, L = cv.shape
     Xb, Yb = X // W, Y // W
@@ -297,13 +325,19 @@ def shift_canvas_pallas(cv, defaults, shift_blk, *, zshift_blk: int = 0,
     if not -L < zl < L:
         raise ValueError(f"zshift_blk {zshift_blk} out of range for L={L}")
 
+    reanchor = reanchor_blk is not None
+    svec = shift_blk.astype(jnp.int32)
+    svec = jnp.concatenate(
+        [svec, (reanchor_blk.astype(jnp.int32) if reanchor
+                else jnp.zeros(3, jnp.int32))])
+
     def src_map(i, j, s_ref):
         bi = jnp.maximum(jnp.minimum(i + s_ref[0], Xb - 1), 0)
         bj = jnp.maximum(jnp.minimum(j + s_ref[1], Yb - 1), 0)
         return bi, bj, 0
 
     return pl.pallas_call(
-        functools.partial(_shift_kernel, Xb, Yb, L, zl),
+        functools.partial(_shift_kernel, Xb, Yb, L, zl, reanchor),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(Xb, Yb),
@@ -315,4 +349,4 @@ def shift_canvas_pallas(cv, defaults, shift_blk, *, zshift_blk: int = 0,
         ),
         out_shape=jax.ShapeDtypeStruct((X, Y, L), jnp.uint32),
         interpret=interpret,
-    )(shift_blk.astype(jnp.int32), defaults, cv)
+    )(svec, defaults, cv)

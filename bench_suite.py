@@ -264,7 +264,10 @@ def bench_case(case: str, link_ms: float):
         return best
 
     scroll_best = _scroll_chain(rows, cols)
-    teleport_best = _scroll_chain(None, None)
+    # teleport = full-coverage compact scroll (the path the mapper actually
+    # dispatches for teleport-scale shifts; ~3x the dense XLA formulation)
+    cb = cfg.canvas_blocks
+    teleport_best = _scroll_chain(int(np.prod(cb)), int(cb[0] * cb[1]))
     p95 = steady_best + (scroll_best if scroll_rate > 0.05 else 0.0)
 
     return {

@@ -147,6 +147,21 @@ _PACKED_DEFAULT = np.asarray(
     dtype=np.uint32,
 )
 
+# Archive rows are stored FLAT: one uint32[1536] word-row per block.  A
+# [B,512,3] leaf would make XLA pick a lanes=512 layout ({0,2,1:T(4,128)})
+# while the Pallas row-DMA kernels require the row-major [B,12,128] view —
+# every scroll then paid TWO full-archive layout copies at the kernel
+# boundary plus a while-carry copy (round-5 HLO finding: ~1.5 ms of the
+# 2.4 ms compact scroll at B=12k).  A 2-D [B,1536] leaf keeps the {1,0}
+# layout, making every kernel/row view a free bitcast.
+ROW_WORDS = VB_SIZE_ * 3
+_PACKED_DEFAULT_ROW = np.tile(_PACKED_DEFAULT, VB_SIZE_)
+
+
+def _rows3(rows):
+    """[..., 1536] flat word-rows -> [..., 512, 3] per-voxel view."""
+    return rows.reshape(rows.shape[:-1] + (VB_SIZE_, 3))
+
 
 def _p1c_on(cfg) -> bool:
     """Whether this config runs the gated EDT with the phase-1 cache (sizes
@@ -171,7 +186,9 @@ class MapState:
     # archive of scrolled-out blocks
     arch_keys: jnp.ndarray   # int32 [B,3]
     n_arch: jnp.ndarray      # int32
-    a_packed: jnp.ndarray    # uint32 [B,512,3] packed voxel payload (see pack_voxels)
+    a_packed: jnp.ndarray    # uint32 [B,1536] FLAT packed word-rows (see
+    # pack_voxels / ROW_WORDS: [512,3] per-voxel payload flattened row-major;
+    # flat 2-D keeps the XLA layout bitcast-compatible with the Pallas row DMAs)
     arch_dropped: jnp.ndarray  # int32
     # per-CELL (4x4x4 subblock) UPPER bound of stored dist_sq over observed
     # voxels — the change-gated EDT's cell-granular affected-region test
@@ -218,7 +235,13 @@ class MapState:
             present=jnp.zeros(cb, jnp.bool_),
             arch_keys=jnp.full((B, 3), EMPTY_KEY, jnp.int32),
             n_arch=jnp.zeros((), jnp.int32),
-            a_packed=jnp.broadcast_to(_PACKED_DEFAULT, (B, VB_SIZE_, 3)).copy(),
+            # device_put of a host array pins the canonical {1,0} row-major
+            # layout: a compiled broadcast here let XLA pick a transposed
+            # {0,1} device layout for the leaf, and every scroll then paid
+            # full-archive layout copies at the Pallas kernel boundary
+            a_packed=jnp.asarray(
+                np.broadcast_to(_PACKED_DEFAULT_ROW,
+                                (B, ROW_WORDS)).copy()),
             arch_dropped=jnp.zeros((), jnp.int32),
             dmax_cell=jnp.full(tuple(c // 4 for c in cs), EMPTY_VALUE,
                                jnp.int32),
@@ -352,7 +375,8 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
         rows = _canvas_as_blocks(packed, cb).reshape(-1, VB_SIZE_, 3)
         rows = shift_packed_coc(
             rows, -_block_pos_vox(jnp.arange(nb_all, dtype=jnp.int32), cb)[:, None, :])
-        a_packed = state.a_packed.at[slot].set(rows, mode="drop")
+        a_packed = state.a_packed.at[slot].set(
+            rows.reshape(-1, ROW_WORDS), mode="drop")
     elif use_pallas:
         # DMA the moving (x,y) block-columns straight out of the dense
         # canvas — no full-canvas block-major transpose (bench_scroll_bisect;
@@ -367,7 +391,7 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
         cslot = jnp.where(cidv[:, None], slot[bidx], B).reshape(-1)
         if archive_pallas is False:  # A/B toggle (examples/bench_scroll_ab)
             a_packed = state.a_packed.at[cslot].set(
-                crows, mode="drop")
+                crows.reshape(-1, ROW_WORDS), mode="drop")
         else:
             # archive side also via Pallas row DMA: `.at[ids].set` row
             # scatters pay a per-index floor (see blockrows docstring)
@@ -382,7 +406,8 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
         cslot = jnp.where(idv, slot[ids], B)
         crows = _canvas_as_blocks(packed, cb).reshape(-1, VB_SIZE_, 3)[ids]
         crows = shift_packed_coc(crows, -_block_pos_vox(ids, cb)[:, None, :])
-        a_packed = state.a_packed.at[cslot].set(crows, mode="drop")
+        a_packed = state.a_packed.at[cslot].set(
+            crows.reshape(-1, ROW_WORDS), mode="drop")
     n_arch = state.n_arch + granted
 
     # ---- 2. dense shift of the canvas (roll + exposed-region fill) ------
@@ -488,7 +513,7 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
     # entering rows re-anchor block-relative -> new-canvas-relative
     if compact_rows is None:
         rows_in = shift_packed_coc(
-            a_packed[gslot],
+            _rows3(a_packed[gslot]),
             _block_pos_vox(jnp.arange(nb, dtype=jnp.int32), cb)[:, None, :]
         ).reshape(cb + (VB_WIDTH, VB_WIDTH, VB_WIDTH, 3))
         pblocks = _canvas_as_blocks(packed, cb)
@@ -509,7 +534,7 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
         valid_b = entering.reshape(-1)[bidx2] & cidv2[:, None]
         slot_b = jnp.where(valid_b, gslot[bidx2], 0)
         if archive_pallas is False:
-            grows = a_packed[slot_b.reshape(-1)]
+            grows = _rows3(a_packed[slot_b.reshape(-1)])
         else:
             grows = gather_archive_rows(a_packed, slot_b.reshape(-1))
         tgt = (colv[:, None] * cb[2] + jz[None, :]).reshape(-1)
@@ -518,7 +543,7 @@ def _do_scroll(state: MapState, new_origin_blk, cfg: MapConfig,
             packed, grows, colv, valid_b.astype(jnp.int32).reshape(-1), cb)
     else:
         ids2, idv2 = _compact_ids(entering.reshape(-1), compact_rows)
-        grows = a_packed[jnp.where(idv2, gslot[ids2], 0)]
+        grows = _rows3(a_packed[jnp.where(idv2, gslot[ids2], 0)])
         grows = shift_packed_coc(grows, _block_pos_vox(ids2, cb)[:, None, :])
         pbrows = _canvas_as_blocks(packed, cb).reshape(-1, VB_SIZE_, 3)
         pbrows = pbrows.at[jnp.where(idv2, ids2, nb)].set(grows, mode="drop")

@@ -330,15 +330,22 @@ class VolumetricMapper:
 
     # ------------------------------------------------------------------
     def _scroll_compact_rows(self, origin_blk, prev=None):
-        """Static compacted-archive-IO sizes (rows, cols) for this scroll,
-        or (None, None).
+        """Static compacted-archive-IO sizes (rows, cols) for this scroll.
 
         Upper-bounds exiting/entering blocks as NB - prod(cb - |shift|):
-        ordinary block crossings move thin slabs (~200-700 blocks of ~3.6k),
-        teleports exceed the bound and take the full-canvas path.  Bucketed
-        to two sizes so the jit cache stays small.  The column bound (the
-        Pallas kernels' work unit) is NCOLS - prod(cb.xy - |shift.xy|), or
-        every column when the shift has a z component."""
+        ordinary block crossings move thin slabs (~200-700 blocks of ~3.6k).
+        Bucketed to a few sizes so the jit cache stays small.  The column
+        bound (the Pallas kernels' work unit) is
+        NCOLS - prod(cb.xy - |shift.xy|), or every column when the shift has
+        a z component.  Teleport-scale shifts return the FULL (nb, ncols)
+        bucket when the canvas is small enough: the compacted Pallas column
+        path covers any shift (pinned by tests/test_scroll_pallas.py) and
+        beats the dense block-major XLA formulation on cow-class canvases
+        (10.5 -> 8.1 ms measured), but its per-row DMA grid is
+        latency-bound, so beyond ~8k rows (depthcam-class: 16.8k) the dense
+        path stays faster (33 -> 41 ms measured) and (None, None) keeps it.
+        The replay planner still breaks teleports out to the per-frame path
+        so a scanned run's static bounds never inflate."""
         if prev is None:
             prev = (self._origin if self._origin is not None
                     else np.asarray(self.state.origin_blk))
@@ -355,7 +362,7 @@ class VolumetricMapper:
         for s in (256, 1024, 2048):
             if bound <= s <= nb:
                 return s, cols
-        return None, None
+        return (nb, ncols) if nb <= 8192 else (None, None)
 
     _SELF = object()  # sentinel: "use self._origin" (which may itself be None)
 
@@ -594,6 +601,10 @@ class VolumetricMapper:
             )
         kw = {k.split("/", 1)[1]: jnp.asarray(raw[k]) for k in raw.files
               if k.startswith("state/")}
+        if kw["a_packed"].ndim == 3:  # v3 checkpoints written before the
+            # flat-row archive layout (round 5) stored [B,512,3]
+            kw["a_packed"] = kw["a_packed"].reshape(
+                kw["a_packed"].shape[0], -1)
         # the per-cell dist bound and phase-1 cache are not serialized
         # (format stays v3): reset both conservatively — the gate's first
         # frame self-heals (full branch / full phase-1 rescan)
@@ -990,8 +1001,9 @@ class VolumetricMapper:
                     if use_compact:
                         rows, cols = self._scroll_compact_rows(origin_blk,
                                                                prev=prev)
-                        if rows is None:
-                            break  # teleport-scale scroll
+                        if rows is None or rows >= int(cb.prod()):
+                            break  # teleport-scale: per-frame dispatch (a
+                            # scanned run's static bounds must not inflate)
                         rc = (rows, cols)
                 fkey = _fence_key(pvt)
                 if fkey0 is None:

@@ -145,7 +145,7 @@ def scatter_block_rows(packed, rows, col_ids, valid, canvas_blocks,
 
 
 # ---------------------------------------------------------------------------
-# archive-row gather/scatter: rows of a_packed [B, 512, 3] by dynamic index.
+# archive-row gather/scatter: rows of a_packed [B, 1536] by dynamic index.
 # A whole row is 1536 contiguous uint32 = 12 sublanes x 128 lanes, so unlike
 # the canvas's 24-lane block slices it IS a legal Mosaic tile — the remaining
 # XLA `.at[ids]` row ops on the archive (per-index multi-ms floor, see module
@@ -161,8 +161,9 @@ def _arow_gather_kernel(ids_ref, src_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def gather_archive_rows(a_packed, ids, *, interpret: bool = False):
-    """a_packed[ids] for uint32 [B,512,3] rows, int32 ids [K] (in-range;
-    callers park invalid entries at any row and mask the result)."""
+    """_rows3(a_packed[ids]) for the flat uint32 [B,1536] archive, int32 ids
+    [K] (in-range; callers park invalid entries at any row and mask the
+    result).  Returns [K,512,3] rows."""
     B = a_packed.shape[0]
     K = ids.shape[0]
     av = a_packed.reshape(B, _ROW_SUB, 128)
@@ -199,7 +200,8 @@ def _arow_scatter_kernel(ids_ref, valid_ref, perm_ref, rows_ref, arch_ref,
                    donate_argnums=(0,))
 def scatter_archive_rows(a_packed, rows, ids, valid, *,
                          interpret: bool = False):
-    """a_packed[ids[k]] := rows[k] where valid[k], in place (donated).
+    """a_packed[ids[k]] := rows[k] flattened, in place where valid[k]
+    (donated; archive is the flat uint32 [B,1536] layout).
 
     Grid order runs every INVALID entry before any valid one (a small
     key sort; the rows payload is never permuted — the kernel reads
@@ -209,9 +211,9 @@ def scatter_archive_rows(a_packed, rows, ids, valid, *,
     parking index may be ANY in-range row — including one a later valid
     entry overwrites.  Valid targets must be unique.
 
-    Args: a_packed u32 [B,512,3]; rows u32 [K,512,3]; ids i32 [K] in-range
+    Args: a_packed u32 [B,1536]; rows u32 [K,512,3]; ids i32 [K] in-range
     (callers park invalid entries at any row, e.g. 0); valid i32 [K] 0/1.
-    Returns the updated [B,512,3] archive.
+    Returns the updated flat [B,1536] archive.
     """
     B = a_packed.shape[0]
     K = ids.shape[0]
@@ -240,7 +242,7 @@ def scatter_archive_rows(a_packed, rows, ids, valid, *,
         input_output_aliases={4: 0},  # arch input (after 3 scalars + rows)
         interpret=interpret,
     )(ids_s, val_s, perm, rv, av)
-    return out.reshape(B, W ** 3, 3)
+    return out.reshape(B, W ** 3 * 3)
 
 
 # ---------------------------------------------------------------------------

@@ -96,7 +96,8 @@ class HostMirror:
         if n == 0:
             return 0
         keys = np.asarray(state.arch_keys[:n])
-        occ, typ, dist, coc = (np.asarray(a) for a in unpack_voxels(state.a_packed[:n]))
+        occ, typ, dist, coc = (np.asarray(a) for a in unpack_voxels(
+            state.a_packed[:n].reshape(-1, 512, 3)))
         W = 8
         shp = (n, W, W, W)
         occ, typ, dist = occ.reshape(shp), typ.reshape(shp), dist.reshape(shp)

@@ -79,11 +79,12 @@ def test_gather_archive_rows_exact():
 
     rng = np.random.default_rng(7)
     B = 17
-    a_packed = rng.integers(0, 2 ** 32, (B, 512, 3), dtype=np.uint32)
+    a_packed = rng.integers(0, 2 ** 32, (B, 1536), dtype=np.uint32)
     ids = np.array([3, 0, 16, 7, 7, 0], np.int32)
     got = gather_archive_rows(jnp.asarray(a_packed), jnp.asarray(ids),
                               interpret=True)
-    np.testing.assert_array_equal(np.asarray(got), a_packed[ids])
+    np.testing.assert_array_equal(np.asarray(got),
+                                  a_packed[ids].reshape(-1, 512, 3))
 
 
 def test_scatter_archive_rows_exact():
@@ -91,7 +92,7 @@ def test_scatter_archive_rows_exact():
 
     rng = np.random.default_rng(8)
     B, K = 13, 6
-    a_packed = rng.integers(0, 2 ** 32, (B, 512, 3), dtype=np.uint32)
+    a_packed = rng.integers(0, 2 ** 32, (B, 1536), dtype=np.uint32)
     rows = rng.integers(0, 2 ** 32, (K, 512, 3), dtype=np.uint32)
     # parked entries interleaved in ANY order — park at row 4, which a
     # valid entry also overwrites (the hard case; the kernel sorts
@@ -102,7 +103,7 @@ def test_scatter_archive_rows_exact():
     want = a_packed.copy()
     for k in range(K):
         if valid[k]:
-            want[ids[k]] = rows[k]
+            want[ids[k]] = rows[k].reshape(-1)
     got = scatter_archive_rows(jnp.asarray(a_packed), jnp.asarray(rows),
                                jnp.asarray(ids), jnp.asarray(valid),
                                interpret=True)

@@ -51,7 +51,8 @@ def believed_occupied(state, cfg):
     n = int(state.n_arch)
     if n:
         keys = np.asarray(state.arch_keys[:n]).astype(np.int64)
-        typ = np.asarray(unpack_voxels(state.a_packed[:n])[1]).reshape(n, 8, 8, 8)
+        typ = np.asarray(unpack_voxels(
+            state.a_packed[:n].reshape(n, 512, 3))[1]).reshape(n, 8, 8, 8)
         cb = np.asarray(cfg.canvas_blocks)
         rel = keys - org
         inside = ((rel >= 0) & (rel < cb)).all(-1)

@@ -157,7 +157,7 @@ def test_archived_block_stale_until_reentry():
     n = int(np.asarray(gmap.n_arch))
     rows = np.asarray(gmap.a_packed)
     slot = next(i for i in range(n) if (keys[i] == [1, 1, 0]).all())
-    occ, typ, dist, coc = np_unpack_voxels(rows[slot])
+    occ, typ, dist, coc = np_unpack_voxels(rows[slot].reshape(512, 3))
     # voxel [10, ym, zm] inside block [1,1,0]: sub coords [2, ym-8, zm]
     vi = 2 * 64 + (ym - 8) * 8 + zm
     assert dist[vi] == 28 ** 2  # stale (reference would have raised it)

@@ -65,4 +65,4 @@ def test_state_create_shapes():
     assert s.occ_val.shape == cfg.canvas_size
     assert s.coc.shape == cfg.canvas_size + (3,)
     assert s.present.shape == cfg.canvas_blocks
-    assert s.a_packed.shape == (cfg.max_blocks, 512, 3)
+    assert s.a_packed.shape == (cfg.max_blocks, 1536)  # flat rows

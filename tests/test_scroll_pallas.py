@@ -39,7 +39,7 @@ def _rand_state(cfg, rng):
     B = cfg.max_blocks
     keys = rng.integers(-3, 6, (n_arch, 3)).astype(np.int32)
     a_packed = np.asarray(st.a_packed).copy()
-    a_packed[:n_arch] = rng.integers(0, 1 << 20, (n_arch, 512, 3),
+    a_packed[:n_arch] = rng.integers(0, 1 << 20, (n_arch, 1536),
                                      dtype=np.uint32)
     return dataclasses.replace(
         st,

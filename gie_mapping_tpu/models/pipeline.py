@@ -43,21 +43,28 @@ from ..utils.constants import (
 )
 
 
-def _slab_menu(canvas_size):
+DEFAULT_MENU_FRACS = ((3, 16), (3, 8), (5, 8))
+
+
+def _slab_menu(canvas_size, fracs=DEFAULT_MENU_FRACS):
     """Static (SX, SY) slab-size ladder for the change-gated EDT: ~3/16,
     3/8 and 5/8 of the canvas per axis (multiples of 8, ascending).  The
     fractions come from the measured affected-slab distributions
     (examples/probe_gate_slab.py): depthcam-class frames need ~0.25-0.30,
     cow-class steady state ~0.58-0.60; anything larger takes the full
-    branch."""
+    branch.  `fracs` is overridable per config (cfg.edt_gate_menu)."""
     X, Y, _ = canvas_size
     r8 = lambda v, n: min(-(-v // 8) * 8, n)
     menu = []
-    for num, den in ((3, 16), (3, 8), (5, 8)):
+    for num, den in fracs:
         sx, sy = r8(X * num // den, X), r8(Y * num // den, Y)
         if (sx, sy) not in menu and sx < X and sy < Y:
             menu.append((sx, sy))
     return menu
+
+
+def _menu_fracs(cfg):
+    return cfg.edt_gate_menu or DEFAULT_MENU_FRACS
 
 
 def p1_cache_enabled(cfg) -> bool:
@@ -70,7 +77,8 @@ def p1_cache_enabled(cfg) -> bool:
 
     X, Y, Z = cfg.canvas_size
     return (cfg.merge_mode == "canvas_edt" and cfg.edt_gate
-            and cfg.edt_p1_cache and Z > 1 and bool(_slab_menu(cfg.canvas_size))
+            and cfg.edt_p1_cache and Z > 1
+            and bool(_slab_menu(cfg.canvas_size, _menu_fracs(cfg)))
             and X * Y * Z >= cfg.edt_gate_min_vox and phase1_fits(Y))
 
 
@@ -129,9 +137,9 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
     X, Y, Z = canvas_size
     cs_arr = jnp.asarray(canvas_size, jnp.int32)
     if mesh is None:
-        menu = _slab_menu(canvas_size)
+        menu = _slab_menu(canvas_size, _menu_fracs(cfg))
     else:
-        menu = [(X, sy) for _, sy in _slab_menu(canvas_size)]
+        menu = [(X, sy) for _, sy in _slab_menu(canvas_size, _menu_fracs(cfg))]
     n_menu = len(menu)
 
     # ---- Δ: occupancy flips + UNKNOWN transitions (window-sized) ---------
@@ -277,7 +285,7 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
         from ..ops.edt_batch import phase1_packed
 
         mw = sum(canvas_size)
-        fx_menu = [sx for sx, _ in _slab_menu(canvas_size)]
+        fx_menu = [sx for sx, _ in _slab_menu(canvas_size, _menu_fracs(cfg))]
         # cover from the SNAPPED patch start (o = clip(flo//8*8, ...)):
         # same alignment slack as the slab fit above
         pneed = jnp.maximum(fhi[0] - flo[0] // 8 * 8 + 1, 0)
@@ -611,7 +619,8 @@ def merge_frame_impl(
     gated = None
     from ..ops.edt_batch import sharded_edt_ok as _sh_ok
     if cfg.merge_mode == "canvas_edt" and cfg.edt_gate \
-            and canvas_size[2] > 1 and _slab_menu(canvas_size) \
+            and canvas_size[2] > 1 \
+            and _slab_menu(canvas_size, _menu_fracs(cfg)) \
             and (mesh is None or _sh_ok(canvas_size, mesh)) \
             and (canvas_size[0] * canvas_size[1] * canvas_size[2]
                  >= cfg.edt_gate_min_vox):

@@ -165,6 +165,13 @@ class MapConfig:
     # while the CPU test suite's size-reduced configs (<= ~250k) stay on
     # the single-EDT path; tests that pin the gate itself set 0
     edt_gate_min_vox: int = 256000
+    # Slab-size ladder for the gated EDT, as (num, den) canvas fractions
+    # per x/y axis (None = pipeline.DEFAULT_MENU_FRACS).  The measured
+    # affected-slab distributions (examples/probe_gate_slab.py) set the
+    # default; workloads whose bboxes straddle a rung can add one (e.g.
+    # ((3,16),(5,16),(3,8),(5,8)) — VERDICT r4 item 8's depthcam candidate,
+    # A/B via examples/bench_gate_rung_ab.py).
+    edt_gate_menu: tuple | None = None
     # affected-region (P) test granularity for the gate:
     #   "voxel" — one fused full-canvas pass: box-distance vs the stored
     #             dist_sq of every observed voxel (round-3 original).

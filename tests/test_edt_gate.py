@@ -132,6 +132,37 @@ def test_menu_nonempty():
     assert menu == sorted(menu)
 
 
+def test_custom_menu_bit_identical():
+    """cfg.edt_gate_menu overrides the slab ladder (VERDICT r4 item 8's
+    5/16 rung); any menu must stay bit-identical to the ungated path."""
+    rung = ((3, 16), (5, 16), (3, 8), (5, 8))
+    frames = [
+        (_with(_free, [8, 8, 4]), [0, 0, 0]),
+        (_with(_free, [8, 8, 4]), [0, 0, 0]),
+        (_with(_free, [8, 8, 4], [2, 14, 2]), [0, 0, 0]),
+        (_with(_free, [2, 14, 2]), [3, 1, 0]),    # + a sub-block move
+    ]
+    results = []
+    for gate in (False, True):
+        cfg = _cfg(gate).replace(edt_gate_menu=rung if gate else None)
+        assert not gate or len(_slab_menu(cfg.canvas_size, rung)) >= 3
+        g = MapState.create(cfg)
+        outs = []
+        for inst_fn, pvt in frames:
+            g, out = _step(cfg, g, inst_fn(cfg.local_size), pvt)
+            outs.append(out)
+        results.append((outs, g))
+    (o0, g0), (o1, g1) = results
+    for i, (a, b) in enumerate(zip(o0, o1)):
+        for k in a:
+            if k not in SKIP_KEYS:
+                np.testing.assert_array_equal(a[k], b[k],
+                                              err_msg=f"frame {i} {k!r}")
+    for f in STATE_FIELDS:
+        np.testing.assert_array_equal(np.asarray(getattr(g0, f)),
+                                      np.asarray(getattr(g1, f)), err_msg=f)
+
+
 @pytest.mark.parametrize("pmode", ["voxel", "block", "block+p1c"])
 def test_static_and_appearing_obstacles(pmode):
     frames = [

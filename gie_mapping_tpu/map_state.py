@@ -655,11 +655,23 @@ def np_unpack_voxels(rows: np.ndarray):
     return occ, typ, dist, np.stack([cx, cy, cz], axis=-1)
 
 
-def canvas_geometry(cfg: MapConfig, pvt: np.ndarray):
-    """Host-side: canvas origin (block-aligned, window centred) for a pivot.
+def canvas_geometry(cfg: MapConfig, pvt: np.ndarray, motion=None):
+    """Host-side: canvas origin (block-aligned) for a pivot.
 
     Returns (canvas_origin_blk int32[3], canvas_origin_vox int32[3],
     window_offset int32[3]) with window_offset = pvt - canvas_origin_vox.
+
+    Placement is motion-biased (round 5, ROADMAP perf candidate 0): with
+    `motion` (the pivot's per-frame delta) given, a fraction
+    cfg.scroll_bias of each axis's position slack is placed AHEAD of the
+    motion direction, so straight-line travel covers ~2*bias the distance
+    between scrolls that centred placement gives.  bias=0.5 reproduces the
+    centred split; the 0.75 default keeps a 25% reserve behind the robot so
+    an immediate reversal doesn't scroll straight back (host-side sim over
+    the suite trajectories: ugv 143 -> 95 scrolls / 8 loops, scan2D
+    95 -> 64 at 0.9, no case worse — examples/sim_scroll_policy.py).
+    Placement is an implementation detail: window contents are pinned by
+    tests regardless of where the canvas sits.
     """
     pvt = np.asarray(pvt, np.int64)
     # cocs are canvas-relative (re-anchored on scroll), so world extent is
@@ -671,13 +683,25 @@ def canvas_geometry(cfg: MapConfig, pvt: np.ndarray):
     cb = np.asarray(cfg.canvas_blocks, np.int64)
     cs = cb * VB_WIDTH
     local = np.asarray(cfg.local_size, np.int64)
-    # centre the canvas on the window so the scroll hysteresis gets equal
-    # slack on both sides (placing it at pvt-halo leaves zero low-side slack
-    # and forces a scroll on the very next negative-direction step)
+    # centred default: equal slack on both sides (placing at pvt-halo leaves
+    # zero low-side slack and forces a scroll on the next negative step)
     centered = np.floor((pvt + local // 2 - cs // 2) / VB_WIDTH + 0.5).astype(np.int64)
     o_min = -(-(pvt + local + halo - cs) // VB_WIDTH)  # ceil div
     o_max = np.floor_divide(pvt - halo, VB_WIDTH)
-    origin_blk = np.clip(centered, o_min, o_max)
+    tgt = centered.copy()
+    bias = getattr(cfg, "scroll_bias", 0.5)
+    if motion is not None and bias != 0.5:
+        m = np.asarray(motion)
+        for ax in range(3):
+            # headroom ahead of +ax motion grows as origin grows toward
+            # o_max (off shrinks toward halo); -ax motion mirrors to o_min
+            if m[ax] > 0:
+                tgt[ax] = round(centered[ax]
+                                + (o_max[ax] - centered[ax]) * (2 * bias - 1))
+            elif m[ax] < 0:
+                tgt[ax] = round(centered[ax]
+                                + (o_min[ax] - centered[ax]) * (2 * bias - 1))
+    origin_blk = np.clip(tgt, o_min, o_max)
     origin_vox = origin_blk * VB_WIDTH
     off = pvt - origin_vox
     assert np.all(off >= halo)

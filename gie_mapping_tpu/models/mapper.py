@@ -366,17 +366,24 @@ class VolumetricMapper:
 
     _SELF = object()  # sentinel: "use self._origin" (which may itself be None)
 
-    def _frame_geometry(self, robot_pos, origin=_SELF):
+    def _frame_geometry(self, robot_pos, origin=_SELF, motion=_SELF):
         """Window pivot + canvas origin with scroll hysteresis: the canvas is
         slightly larger than window+halo, so the origin is kept while the
-        window (plus its halo) still fits — halving scroll frequency.
+        window (plus its halo) still fits — halving scroll frequency.  When
+        a scroll IS forced, placement is motion-biased (canvas_geometry:
+        cfg.scroll_bias of the slack goes ahead of the travel direction).
 
-        `origin` overrides the current canvas origin (the batch planner walks
-        hypothetical origins ahead of dispatch)."""
+        `origin` overrides the current canvas origin and `motion` the pivot
+        delta (the batch planner walks hypothetical origins/pivots ahead of
+        dispatch); by default both track the live per-frame state."""
         cfg = self.cfg
         if origin is VolumetricMapper._SELF:
             origin = self._origin
         pvt = geo.calculate_pivot(robot_pos, cfg.voxel_width, cfg.local_size)
+        if motion is VolumetricMapper._SELF:
+            last = getattr(self, "_last_pvt", None)
+            motion = None if last is None else pvt - last
+            self._last_pvt = pvt.copy()
         if origin is not None:
             off = pvt - origin * VB_WIDTH
             lo_ok = (off >= cfg.halo_grids).all()
@@ -384,7 +391,7 @@ class VolumetricMapper:
                      <= np.asarray(cfg.canvas_size)).all()
             if lo_ok and hi_ok:
                 return pvt, origin.copy(), off.astype(np.int32)
-        origin_blk, origin_vox, off = canvas_geometry(cfg, pvt)
+        origin_blk, origin_vox, off = canvas_geometry(cfg, pvt, motion)
         return pvt, origin_blk, off
 
     def _fence_args(self, pvt):
@@ -986,13 +993,20 @@ class VolumetricMapper:
         while i < K:
             # plan a run of `chunk` frames whose scrolls fit the bounds
             prev = None if self._origin is None else self._origin.copy()
+            prev_pvt = getattr(self, "_last_pvt", None)
             plan = []
             plan_rc = []  # per-frame (rows, cols) so truncation can re-max
             fkey0 = None
             j = i
             while j < K and len(plan) < chunk:
                 pvt, origin_blk, off = self._frame_geometry(
-                    np.asarray(projs[j].trans), origin=prev)
+                    np.asarray(projs[j].trans), origin=prev,
+                    motion=(None if prev_pvt is None else
+                            geo.calculate_pivot(np.asarray(projs[j].trans),
+                                                self.cfg.voxel_width,
+                                                self.cfg.local_size)
+                            - prev_pvt))
+                prev_pvt = pvt.copy()
                 scroll = prev is None or not np.array_equal(prev, origin_blk)
                 rc = (0, 0)
                 if scroll:
@@ -1087,6 +1101,7 @@ class VolumetricMapper:
                 has_scrolls=has_scrolls, **extra)
             last = plan[-1]
             self._origin = np.asarray(last[1]).copy()
+            self._last_pvt = np.asarray(last[0]).copy()  # motion-bias anchor
             self.map_ct += n
             self.replay_scanned_frames += n
             self.replay_scanned_scrolls += int(scrolled.sum())

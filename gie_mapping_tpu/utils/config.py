@@ -172,6 +172,12 @@ class MapConfig:
     # ((3,16),(5,16),(3,8),(5,8)) — VERDICT r4 item 8's depthcam candidate,
     # A/B via examples/bench_gate_rung_ab.py).
     edt_gate_menu: tuple | None = None
+    # Fraction of the canvas position slack placed AHEAD of the motion
+    # direction when a scroll re-places the origin (0.5 = centred; see
+    # map_state.canvas_geometry).  0.75 keeps a 25% reserve behind the
+    # robot (immediate reversals don't scroll straight back) while
+    # straight-line travel scrolls ~2/3 as often.
+    scroll_bias: float = 0.75
     # affected-region (P) test granularity for the gate:
     #   "voxel" — one fused full-canvas pass: box-distance vs the stored
     #             dist_sq of every observed voxel (round-3 original).

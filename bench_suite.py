@@ -43,16 +43,18 @@ import numpy as np
 N_WARMUP = 2
 N_FRAMES = 20
 N_PASSES = 3
-CHUNK = 40  # one program per measured pass (per-program throttle quantum;
-# bench_artifacts/throttle_quantum_*.jsonl) — the ladder covers tails.
-# The two budget-line configs scan 160 frames per program (the rolled
-# lax.scan compiles length-independently; staging is cheap).  Measured
-# ladder (bench_case_chunk_ab, ~2-3x windows): depthcam 40 -> 8.34,
-# 80 -> 7.15, 160 -> 6.65; ugv_corridor 20 -> 9.33, 40 -> 7.32,
-# 80 -> 5.75-5.90, 160 -> 5.63 ms/frame
-# (bench_artifacts/{depthcam,ugv}_chunk*_ab_20260821*.jsonl); beyond 160
-# the F/chunk quantum share is < 0.3 ms — device work is the floor.
-CASE_CHUNK = {"depthcam": 160, "ugv_corridor": 160}
+CHUNK = 40  # frames per scan program.  Round-5 finding (ADVICE r4): the
+# round-4 chunk ladder (depthcam 40 -> 8.34, 160 -> 6.65 etc.) conflated
+# program-quantum amortisation with a genuinely easier trajectory — chunk
+# was coupled to the angular step, so longer programs got 1/chunk the
+# per-frame motion.  With the step DECOUPLED (case_world_poses winds whole
+# extra loops), the ladder is FLAT: depthcam 8.13/8.11/8.06 and
+# ugv 6.52/6.69/6.91 ms/frame at 40/80/160
+# (bench_artifacts/{depthcam,ugv}_chunk_ab_decoupled_20260821.jsonl), so
+# 40 everywhere is the default; longer programs only matter in heavily
+# throttled windows (per-program quantum F ~ 80-100 ms), which the suite's
+# quiet-window gating avoids measuring in anyway.
+CASE_CHUNK = {}
 K_EDT = 8
 
 # Trajectory sampling granularity (ADVICE r4): the angular step is FIXED at

@@ -43,13 +43,17 @@ from ..utils.constants import (
 )
 
 
-DEFAULT_MENU_FRACS = ((3, 16), (3, 8), (5, 8))
+# 5/16 rung added round 5 (VERDICT r4 item 8): depthcam-class steady slabs
+# need 0.22-0.28 of the canvas, straddling the old 3/16 -> 3/8 jump;
+# the interleaved A/B measured 1.037x on the suite depthcam workload with
+# identical (renumbered) levels (bench_artifacts/gate_rung_ab_20260821.jsonl)
+DEFAULT_MENU_FRACS = ((3, 16), (5, 16), (3, 8), (5, 8))
 
 
 def _slab_menu(canvas_size, fracs=DEFAULT_MENU_FRACS):
     """Static (SX, SY) slab-size ladder for the change-gated EDT: ~3/16,
-    3/8 and 5/8 of the canvas per axis (multiples of 8, ascending).  The
-    fractions come from the measured affected-slab distributions
+    5/16, 3/8 and 5/8 of the canvas per axis (multiples of 8, ascending).
+    The fractions come from the measured affected-slab distributions
     (examples/probe_gate_slab.py): depthcam-class frames need ~0.25-0.30,
     cow-class steady state ~0.58-0.60; anything larger takes the full
     branch.  `fracs` is overridable per config (cfg.edt_gate_menu)."""

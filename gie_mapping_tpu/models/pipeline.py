@@ -219,10 +219,19 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
 
     # zero-site epochs invalidate the induction (stored pairs survive the
     # no-obstacle frames unrefreshed): force the full branch around them
-    # (the any-reduces fuse into the canvas_type uncrop write)
+    # (the any-reduces fuse into the canvas_type uncrop write).  Round 5
+    # splits the epoch itself from its exit: while the canvas has NO sites
+    # at all, the exact EDT output is a constant (no envelope can find a
+    # site), so those frames take a dedicated constant-fill branch instead
+    # of paying the full sweeps — the genuine full recompute happens only
+    # on the single frame where sites REappear after an epoch.  This is the
+    # force-full cliff the teleport bench hits: a jump into open space made
+    # EVERY subsequent frame pay the full EDT until an obstacle was seen
+    # (bench_artifacts/teleport_20260821.jsonl).
     any_site_new = jnp.any(canvas_type == VOX_OCCUPIED)
     any_site_old = jnp.any(old_type == VOX_OCCUPIED)
     force_full = ~(any_site_new & any_site_old)
+    zero_now = ~any_site_new
 
     G = 4  # dmax_cell granularity (see MapState.dmax_cell)
     if cfg.edt_gate_pmode == "block":
@@ -275,6 +284,7 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
         fits = (need_x <= menu[k][0]) & (need_y <= menu[k][1])
         sel = jnp.where(fits, jnp.int32(k), sel)
     sel = jnp.where(force_full, jnp.int32(n_menu), sel)
+    sel = jnp.where(zero_now, jnp.int32(n_menu + 1), sel)  # constant fill
 
     # ---- phase-1 cache update (cfg.edt_p1_cache) -------------------------
     # Sites change only inside the site-flip x-bbox on non-scroll frames
@@ -397,10 +407,17 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
                 changed, jnp.int32(SX * SY * Z), new_dmax)
         return branch
 
-    def full_branch(ops):
+    def full_branch(ops, zero_site=False):
         dist_state, coc_state, ctype, pblk, _bx0, _by0, woff, dmax = ops
         pvox = _expand_blocks(pblk)
-        if mesh is None:
+        if zero_site:
+            # no sites anywhere: every envelope is empty, so the exact EDT
+            # is the constant (valid=False -> EMPTY/INVALID) fill —
+            # finalize/keep-old/changed logic below is identical
+            full = {"valid": jnp.zeros(canvas_size, jnp.bool_),
+                    "dist_sq": jnp.zeros(canvas_size, jnp.int32),
+                    "coc": jnp.zeros(canvas_size + (3,), jnp.int32)}
+        elif mesh is None:
             # reuse the freshly patched/rebuilt phase-1 cache: without it,
             # full-recompute frames with the cache on would scan phase 1
             # TWICE (once for the cache, once inside batch_edt)
@@ -424,9 +441,10 @@ def _gated_canvas_merge(state, canvas_type, old_type, new_type_win,
         dist_win = _crop(dist_pre, woff, local_size)
         cw = (_crop(coc_pre, woff, local_size),) if emit_outputs else ()
         return (fin_d, fin_c, dist_win) + cw + (
-            changed, jnp.int32(X * Y * Z), new_dmax)
+            changed, jnp.int32(0 if zero_site else X * Y * Z), new_dmax)
 
-    branches = [make_gated(sx, sy) for sx, sy in menu] + [full_branch]
+    branches = ([make_gated(sx, sy) for sx, sy in menu] + [full_branch]
+                + [partial(full_branch, zero_site=True)])
     ops = (state.dist_sq, state.coc, canvas_type, present_blk,
            x0, y0, win_off, state.dmax_cell)
     res = jax.lax.switch(sel, branches, ops)

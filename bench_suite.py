@@ -255,7 +255,13 @@ def bench_case(case: str, link_ms: float):
                 return _do_scroll(s, tgt, cfg, compact_rows=rows,
                                   compact_cols=cols), ()
             s, _ = jax.lax.scan(body, s, None, length=K_EDT)
-            return s.origin_blk
+            # consume EVERY carried leaf: returning only origin_blk lets
+            # XLA's while-loop simplifier delete the entire scroll as dead
+            # code (burned-once lesson — sub-link-latency "measurements")
+            return jax.tree_util.tree_reduce(
+                lambda x, y: x + jnp.float32(
+                    y.reshape(-1)[0].astype(jnp.float32)),
+                s, jnp.float32(0))
         np.asarray(chain(st0))
         best = 1e9
         for _ in range(2):
@@ -266,10 +272,13 @@ def bench_case(case: str, link_ms: float):
         return best
 
     scroll_best = _scroll_chain(rows, cols)
-    # teleport = full-coverage compact scroll (the path the mapper actually
-    # dispatches for teleport-scale shifts; ~3x the dense XLA formulation)
-    cb = cfg.canvas_blocks
-    teleport_best = _scroll_chain(int(np.prod(cb)), int(cb[0] * cb[1]))
+    # teleport = the path the mapper actually dispatches for teleport-scale
+    # shifts (mapper._scroll_compact_rows: compact-full Pallas columns up
+    # to 8k blocks, dense XLA beyond)
+    cb = np.asarray(cfg.canvas_blocks)
+    tp_rows, tp_cols = mapper._scroll_compact_rows(
+        np.asarray(st0.origin_blk) + 10 * cb, prev=np.asarray(st0.origin_blk))
+    teleport_best = _scroll_chain(tp_rows, tp_cols)
     p95 = steady_best + (scroll_best if scroll_rate > 0.05 else 0.0)
 
     return {

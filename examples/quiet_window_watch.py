@@ -41,6 +41,9 @@ PAYLOADS = [
     ("gate_stack_ab",
      [sys.executable, os.path.join(HERE, "bench_edt_gate_ab.py"),
       "--variants", "stack", "--cases", "cow_lady,depthcam"], {}),
+    # round-5: 5/16 gate-menu rung revert check (default vs old 3-rung)
+    ("gate_rung_ab",
+     [sys.executable, os.path.join(HERE, "bench_gate_rung_ab.py")], {}),
     # round-3: padded-capacity sensitivity of the pointcloud path
     ("raycast_capacity_ab",
      [sys.executable, os.path.join(HERE, "bench_raycast_capacity_ab.py")],
@@ -66,6 +69,15 @@ PAYLOADS = [
       "--case", "depthcam"], {}),
     ("relax_ab", [sys.executable, os.path.join(HERE, "bench_relax_ab.py")],
      {}),
+    # round-5: scroll-path + cliff verdicts in a quiet window
+    ("scroll_parts_depthcam",
+     [sys.executable, os.path.join(HERE, "bench_scroll_parts.py"),
+      "--case", "depthcam"], {}),
+    ("teleport_depthcam",
+     [sys.executable, os.path.join(HERE, "bench_teleport.py"),
+      "--case", "depthcam"], {}),
+    ("online_ab",
+     [sys.executable, os.path.join(HERE, "bench_online_ab.py")], {}),
     ("env_efficiency",
      [sys.executable, os.path.join(HERE, "bench_env_efficiency.py")], {}),
     ("scroll_parts",

@@ -1040,8 +1040,15 @@ class VolumetricMapper:
             # the (at most 2+2) bucket increases a session can see — not the
             # 3 x 9 cross-product a heterogeneous trajectory would otherwise
             # trigger at 30-90 s/compile over the tunnel (ADVICE r3).
-            ladder = sorted({chunk} | {max(chunk // 2, 2), max(chunk // 4, 2)},
-                            reverse=True)
+            # short rungs (5, 2) matter around teleports: a jump breaks the
+            # plan, and the leftover segment used to dispatch PER-FRAME
+            # below the old chunk/4 minimum — at ~1 link RTT enqueue per
+            # program over the tunnel, 9 tail frames cost ~200 ms
+            # (bench_artifacts/teleport_20260821*.jsonl); with the short
+            # rungs the same tail is 3 programs + at most 1 fallback
+            ladder = sorted({chunk, max(chunk // 2, 2), max(chunk // 4, 2),
+                             5, 2}, reverse=True)
+            ladder = [L for L in ladder if L <= max(chunk, 2)]
             run_len = next((L for L in ladder if len(plan) >= L), 0)
             if run_len == 0:
                 # plan too short for any scan program (jump / fence flip /

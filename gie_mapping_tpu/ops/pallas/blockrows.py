@@ -34,6 +34,10 @@ W = VB_WIDTH        # 8
 LW = 3 * VB_WIDTH   # 24 lanes: one block's z*payload extent
 
 
+def _round_up(v, m):
+    return (v + m - 1) // m * m
+
+
 def _col_map(canvas_blocks):
     by = canvas_blocks[1]
 
@@ -153,10 +157,22 @@ def scatter_block_rows(packed, rows, col_ids, valid, canvas_blocks,
 # ---------------------------------------------------------------------------
 
 _ROW_SUB = 12   # 512*3 / 128
+_ROW_BATCH = 8  # rows per grid step: the one-row-per-step formulation is
+# LATENCY-bound (~1.5 µs/step — depthcam's 1.6k-row scroll paid ~2.5 ms in
+# serialized 6 KB DMAs, round-5 bisect); issuing _ROW_BATCH manual async
+# copies per step and waiting once overlaps them
 
 
-def _arow_gather_kernel(ids_ref, src_ref, out_ref):
-    out_ref[...] = src_ref[...]
+def _arow_gather_kernel(R, ids_ref, src_ref, out_ref, sem):
+    i = pl.program_id(0)
+    cps = []
+    for j in range(R):
+        cp = pltpu.make_async_copy(src_ref.at[ids_ref[i * R + j]],
+                                   out_ref.at[j], sem.at[j])
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -166,34 +182,46 @@ def gather_archive_rows(a_packed, ids, *, interpret: bool = False):
     result).  Returns [K,512,3] rows."""
     B = a_packed.shape[0]
     K = ids.shape[0]
+    R = _ROW_BATCH
+    Kp = _round_up(max(K, 1), R)
+    ids_p = jnp.concatenate(
+        [ids.astype(jnp.int32), jnp.zeros(Kp - K, jnp.int32)]) \
+        if Kp != K else ids.astype(jnp.int32)
     av = a_packed.reshape(B, _ROW_SUB, 128)
     out = pl.pallas_call(
-        _arow_gather_kernel,
+        functools.partial(_arow_gather_kernel, R),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(K,),
-            in_specs=[pl.BlockSpec((1, _ROW_SUB, 128),
-                                   lambda i, ids_ref: (ids_ref[i], 0, 0))],
-            out_specs=pl.BlockSpec((1, _ROW_SUB, 128),
+            grid=(Kp // R,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # manual row DMAs
+            out_specs=pl.BlockSpec((R, _ROW_SUB, 128),
                                    lambda i, *_: (i, 0, 0)),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((R,))],
         ),
-        out_shape=jax.ShapeDtypeStruct((K, _ROW_SUB, 128), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((Kp, _ROW_SUB, 128), jnp.uint32),
         interpret=interpret,
-    )(ids, av)
-    return out.reshape(K, W ** 3, 3)
+    )(ids_p, av)
+    return out[:K].reshape(K, W ** 3, 3)
 
 
-def _arow_scatter_kernel(ids_ref, valid_ref, perm_ref, rows_ref, arch_ref,
-                         out_ref):
+def _arow_scatter_kernel(R, ids_ref, valid_ref, rows_ref, arch_ref, out_ref,
+                         sem):
     i = pl.program_id(0)
-
-    @pl.when(valid_ref[i] != 0)
-    def _():
-        out_ref[...] = rows_ref[...]
-
-    @pl.when(valid_ref[i] == 0)
-    def _():
-        out_ref[...] = arch_ref[...]  # parked: rewrite current content
+    cps = []
+    for j in range(R):
+        @pl.when(valid_ref[i * R + j] != 0)
+        def _(j=j):
+            cp = pltpu.make_async_copy(rows_ref.at[j],
+                                       out_ref.at[ids_ref[i * R + j]],
+                                       sem.at[j])
+            cp.start()
+        cps.append(j)
+    for j in cps:
+        @pl.when(valid_ref[i * R + j] != 0)
+        def _(j=j):
+            pltpu.make_async_copy(rows_ref.at[j],
+                                  out_ref.at[ids_ref[i * R + j]],
+                                  sem.at[j]).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",),
@@ -203,45 +231,46 @@ def scatter_archive_rows(a_packed, rows, ids, valid, *,
     """a_packed[ids[k]] := rows[k] flattened, in place where valid[k]
     (donated; archive is the flat uint32 [B,1536] layout).
 
-    Grid order runs every INVALID entry before any valid one (a small
-    key sort; the rows payload is never permuted — the kernel reads
-    rows[perm[i]] through a scalar-prefetched index map).  An invalid entry
-    re-reads its (parked) target row and writes it back unchanged; running
-    them first means every such read observes pre-call content, so the
-    parking index may be ANY in-range row — including one a later valid
-    entry overwrites.  Valid targets must be unique.
+    Invalid entries are simply SKIPPED (their row is never touched — no
+    parking, no ordering constraints); valid targets must be unique.  Each
+    grid step issues _ROW_BATCH manual VMEM->HBM row copies and waits once,
+    so the per-row DMA latency overlaps instead of serializing one grid
+    step per row (round-5 finding: the serialized form cost ~1.5 µs/row —
+    ~2.5 ms on a depthcam scroll's 1.6k rows).
 
     Args: a_packed u32 [B,1536]; rows u32 [K,512,3]; ids i32 [K] in-range
-    (callers park invalid entries at any row, e.g. 0); valid i32 [K] 0/1.
+    (anything for invalid entries); valid i32 [K] 0/1.
     Returns the updated flat [B,1536] archive.
     """
     B = a_packed.shape[0]
     K = ids.shape[0]
+    R = _ROW_BATCH
+    Kp = _round_up(max(K, 1), R)
+    ids_p = ids.astype(jnp.int32)
+    val_p = valid.astype(jnp.int32)
+    if Kp != K:
+        ids_p = jnp.concatenate([ids_p, jnp.zeros(Kp - K, jnp.int32)])
+        val_p = jnp.concatenate([val_p, jnp.zeros(Kp - K, jnp.int32)])
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((Kp - K,) + rows.shape[1:], rows.dtype)])
     av = a_packed.reshape(B, _ROW_SUB, 128)
-    rv = rows.reshape(K, _ROW_SUB, 128)
-    arange = jnp.arange(K, dtype=jnp.int32)
-    key = valid.astype(jnp.int32) * K + arange   # invalid first, stable
-    _, ids_s, val_s, perm = jax.lax.sort(
-        (key, ids.astype(jnp.int32), valid.astype(jnp.int32), arange),
-        num_keys=1)
-    sel = lambda i, ids_ref, valid_ref, perm_ref: (ids_ref[i], 0, 0)
+    rv = rows.reshape(Kp, _ROW_SUB, 128)
     out = pl.pallas_call(
-        _arow_scatter_kernel,
+        functools.partial(_arow_scatter_kernel, R),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(K,),
+            num_scalar_prefetch=2,
+            grid=(Kp // R,),
             in_specs=[
-                pl.BlockSpec((1, _ROW_SUB, 128),
-                             lambda i, ids_ref, valid_ref, perm_ref:
-                             (perm_ref[i], 0, 0)),
-                pl.BlockSpec((1, _ROW_SUB, 128), sel),
+                pl.BlockSpec((R, _ROW_SUB, 128), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, _ROW_SUB, 128), sel),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((R,))],
         ),
         out_shape=jax.ShapeDtypeStruct((B, _ROW_SUB, 128), jnp.uint32),
-        input_output_aliases={4: 0},  # arch input (after 3 scalars + rows)
+        input_output_aliases={3: 0},  # arch input (after 2 scalars + rows)
         interpret=interpret,
-    )(ids_s, val_s, perm, rv, av)
+    )(ids_p, val_p, rv, av)
     return out.reshape(B, W ** 3 * 3)
 
 

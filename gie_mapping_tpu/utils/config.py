@@ -178,6 +178,10 @@ class MapConfig:
     # robot (immediate reversals don't scroll straight back) while
     # straight-line travel scrolls ~2/3 as often.
     scroll_bias: float = 0.75
+    # Extra canvas slack blocks per axis beyond window+halo+alignment (see
+    # canvas_blocks): more slack = fewer scrolls (and the motion bias gets
+    # room to act) at slightly more canvas volume per pass.
+    canvas_slack_blocks: int = 0
     # affected-region (P) test granularity for the gate:
     #   "voxel" — one fused full-canvas pass: box-distance vs the stored
     #             dist_sq of every observed voxel (round-3 original).
@@ -302,7 +306,12 @@ class MapConfig:
         out = []
         for s in self.local_size:
             span = s + 2 * h
-            out.append(span // VB_WIDTH + 2)  # +1 alignment slack, +1 ceil
+            # +1 alignment slack, +1 ceil, + deliberate scroll-hysteresis
+            # slack (canvas_slack_blocks): each extra block/axis costs a few
+            # % of canvas volume but multiplies the scroll hysteresis
+            # distance — and gives the motion-biased placement room to work
+            # (with 1 block of slack the bias rounds back to centred)
+            out.append(span // VB_WIDTH + 2 + self.canvas_slack_blocks)
         return tuple(out)
 
     @property

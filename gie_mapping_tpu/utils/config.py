@@ -412,6 +412,12 @@ def depthcam_config(**overrides) -> MapConfig:
         cutoff_dist=6.0,
         max_blocks=11997,
         display_loc_edt=True,
+        # +1 deliberate hysteresis block: 3x fewer scrolls at 1.12x canvas
+        # volume — measured 1.139x end-to-end, all passes consistent
+        # (bench_artifacts/slack_ab_20260821.jsonl).  cow-class canvases
+        # LOSE from the same knob (0.968x: their volume penalty is 1.22x
+        # and the gate's steady slabs scale with it), so this is per-case.
+        canvas_slack_blocks=1,
     )
     return cfg.replace(**overrides)
 

@@ -114,3 +114,35 @@ def test_compact_scroll_bitwise_equals_full():
             a = np.asarray(getattr(sf, f.name))
             b = np.asarray(getattr(sc, f.name))
             np.testing.assert_array_equal(a, b, err_msg=f.name)
+
+
+def test_window_outputs_independent_of_canvas_slack():
+    """The canvas is an implementation detail: the same frame sequence must
+    produce identical WINDOW outputs whatever hysteresis slack the canvas
+    carries (cfg.canvas_slack_blocks — depthcam ships 1 since round 5)."""
+    from gie_mapping_tpu.models.mapper import VolumetricMapper
+    from gie_mapping_tpu.runtime.datasets import BoxWorld, circular_trajectory
+
+    outs = []
+    for slack in (0, 1, 2):
+        cfg = scan2d_config(local_size_m=(3.2, 3.2, 1.6), voxel_width=0.2,
+                            max_blocks=2048, canvas_slack_blocks=slack,
+                            display_glb_edt=False, display_glb_ogm=False)
+        world = BoxWorld.corridor(seed=5, n_pillars=4, extent=1.4, height=1.6)
+        poses = circular_trajectory(n_frames=6, radius=0.9, height=0.8,
+                                    closed=True)
+        m = VolumetricMapper(cfg)
+        per = []
+        for i, p in enumerate(poses):
+            scan, tmin, tinc = world.scan_2d(p, n_beams=180)
+            out = m.process_scan2d(p, scan, tmin, tinc)
+            # window outputs are global-anchored (coc in global voxel
+            # coords), so they must match bitwise across canvas sizes
+            per.append((np.asarray(out.glb_type), np.asarray(out.dist_sq),
+                        np.asarray(out.coc)))
+        outs.append(per)
+    for slack_i in (1, 2):
+        for f, (a, b) in enumerate(zip(outs[0], outs[slack_i])):
+            for name, x, y in zip(("type", "dist", "coc"), a, b):
+                np.testing.assert_array_equal(
+                    x, y, err_msg=f"slack {slack_i} frame {f} {name}")

@@ -395,3 +395,35 @@ def test_replay_batch_relax_engine():
         merge_mode="relax",
         display_glb_edt=False, display_glb_ogm=False)
     _assert_equal(*_run_pair(cfg, n_frames=6, chunk=3))
+
+
+def test_replay_batch_short_ladder_rungs():
+    """Post-teleport tails dispatch through the round-5 short ladder rungs
+    (5, 2) instead of per-frame fallbacks; bit-identity must hold across
+    the mixed run lengths.  12 frames with a teleport at frame 4: the plan
+    splits into [fresh-fallback, 2-run, 1-fallback, teleport-fallback,
+    return-teleport-fallback, 5-run, 1-fallback] at chunk=8 (ladder
+    [8, 5, 4, 2]) — the 7 scanned frames can only be the 2- and 5-rungs."""
+    cfg = cow_lady_config(
+        voxel_width=0.2, local_size_m=(9.6, 9.6, 1.6), cutoff_dist=1.0,
+        max_blocks=2048, max_raycast_points=256, fuse_raycast=True,
+        display_glb_edt=False, display_glb_ogm=False)
+    world = BoxWorld.corridor(seed=7, n_pillars=5, extent=3.0, height=2.0)
+    poses = _linear_poses(12)
+    poses[4] = geo.Projection(rot=np.eye(3, dtype=np.float32),
+                              trans=np.asarray([15.0, 8.0, 0.9], np.float32))
+    clouds = [world.pointcloud(p, n_rays=256, max_range=6.0, seed=i)
+              for i, p in enumerate(poses)]
+
+    m_ref = VolumetricMapper(cfg)
+    pts, val = m_ref.stage_pointcloud_batch(clouds)
+    for i, p in enumerate(poses):
+        out_ref = m_ref.process_pointcloud(p, pts[i], val[i])
+    m_bat = VolumetricMapper(cfg)
+    pts_b, val_b = m_bat.stage_pointcloud_batch(clouds)
+    out_bat = m_bat.process_pointcloud_batch(poses, pts_b, val_b, chunk=8)
+    _assert_equal(m_ref, out_ref, m_bat, out_bat)
+    # runs of 2 and 5 scanned (both short rungs engaged); the fresh frame,
+    # the frame before the jump, both teleports and the single tail frame
+    # dispatch per-frame
+    assert m_bat.replay_scanned_frames == 7

@@ -175,14 +175,15 @@ def _arow_gather_kernel(R, ids_ref, src_ref, out_ref, sem):
         cp.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def gather_archive_rows(a_packed, ids, *, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "row_batch"))
+def gather_archive_rows(a_packed, ids, *, interpret: bool = False,
+                        row_batch: int | None = None):
     """_rows3(a_packed[ids]) for the flat uint32 [B,1536] archive, int32 ids
     [K] (in-range; callers park invalid entries at any row and mask the
     result).  Returns [K,512,3] rows."""
     B = a_packed.shape[0]
     K = ids.shape[0]
-    R = _ROW_BATCH
+    R = row_batch or _ROW_BATCH
     Kp = _round_up(max(K, 1), R)
     ids_p = jnp.concatenate(
         [ids.astype(jnp.int32), jnp.zeros(Kp - K, jnp.int32)]) \
@@ -224,10 +225,11 @@ def _arow_scatter_kernel(R, ids_ref, valid_ref, rows_ref, arch_ref, out_ref,
                                   sem.at[j]).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",),
+@functools.partial(jax.jit, static_argnames=("interpret", "row_batch"),
                    donate_argnums=(0,))
 def scatter_archive_rows(a_packed, rows, ids, valid, *,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         row_batch: int | None = None):
     """a_packed[ids[k]] := rows[k] flattened, in place where valid[k]
     (donated; archive is the flat uint32 [B,1536] layout).
 
@@ -244,7 +246,7 @@ def scatter_archive_rows(a_packed, rows, ids, valid, *,
     """
     B = a_packed.shape[0]
     K = ids.shape[0]
-    R = _ROW_BATCH
+    R = row_batch or _ROW_BATCH
     Kp = _round_up(max(K, 1), R)
     ids_p = ids.astype(jnp.int32)
     val_p = valid.astype(jnp.int32)

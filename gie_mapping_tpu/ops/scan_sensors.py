@@ -48,6 +48,39 @@ class ScanParam:
         return cls(*children)
 
 
+def _image_lookup(img, py, px):
+    """img[py, px] per window voxel, WITHOUT a per-voxel XLA gather.
+
+    XLA gathers pay a multi-ms floor on this backend (round-5: the depth
+    camera's 300k-voxel lookup from its 48 KB image measured 1.9-2.3
+    ms/frame — the whole sensor-stage cost).  On TPU, for images whose
+    column count fits one lane tile, the lookup runs as a one-hot row
+    matmul (MXU) + a lane equality-select, which measured at link noise in
+    the same window.  Exactness: the one-hot operand is exactly 0.0/1.0 and
+    Precision.HIGHEST keeps enough bf16 passes that 1.0 * f32 is exact for
+    normal values, so the selected values are bit-identical to the gather
+    (pinned on-device by tpu_sanity's realsense-lookup arm).  CPU (and
+    wider images) keep the plain gather.
+    """
+    rows, cols = img.shape
+    from .edt_batch import _use_pallas  # backend probe (TPU/axon)
+
+    if not _use_pallas() or cols > 128 or rows > 512:
+        return img[py, px]
+    n = py.size
+    npad = -(-n // 128) * 128
+    shape = py.shape
+    pyf = jnp.pad(py.reshape(-1), (0, npad - n)).reshape(npad // 128, 128)
+    pxf = jnp.pad(px.reshape(-1), (0, npad - n)).reshape(npad // 128, 128)
+    oh = (pyf[..., None] == jnp.arange(rows, dtype=jnp.int32)).astype(img.dtype)
+    rowv = jax.lax.dot_general(oh, img, (((2,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=img.dtype)
+    lane = jnp.arange(cols, dtype=jnp.int32)
+    real = jnp.sum(jnp.where(pxf[..., None] == lane, rowv, 0), axis=-1)
+    return real.reshape(-1)[:n].reshape(shape)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class CamParam:
@@ -166,9 +199,13 @@ def realsense_update(proj, param: CamParam, pvt, *, local_size, voxel_width,
         (idea_depth > 0.3) & (idea_depth <= 6.0)
         & (px >= 0) & (px < cols) & (py >= 0) & (py < rows)
     )
-    real = param.depth[jnp.clip(py, 0, rows - 1), jnp.clip(px, 0, cols - 1)]
-    nan = jnp.isnan(real)
-    real = jnp.where(nan, SENS_FAR_DIST if valid_nan else -1.0, real)
+    # NaN policy applied IMAGE-side (rows*cols elements, not window-side):
+    # identical downstream values, and it keeps the one-hot lookup below
+    # NaN-free (0 * NaN would poison the row sums)
+    dimg = jnp.where(jnp.isnan(param.depth),
+                     SENS_FAR_DIST if valid_nan else -1.0, param.depth)
+    real = _image_lookup(dimg, jnp.clip(py, 0, rows - 1),
+                         jnp.clip(px, 0, cols - 1))
     meas_ok = in_frustum & (real > 0.21)
 
     free = meas_ok & (idea_depth < real - voxel_width)
